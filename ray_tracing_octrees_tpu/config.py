@@ -1,0 +1,155 @@
+"""Typed configuration for the whole engine.
+
+The reference scatters its knobs across compile-time constants, member flags
+and magic numbers (see SURVEY.md §5 "Config"). Every one of those constants
+is captured here in a single frozen dataclass so that scenes, pipelines and
+benchmarks are reproducible from one object.
+
+Reference provenance for defaults (file:line into /root/reference):
+  453-skeleton/main.cpp:1022-1025        useGDB, dim=256, voxelSize=10, cache name
+  453-skeleton/main.cpp:990              window 1300x1300
+  453-skeleton/main.cpp:101              mesh-extraction frustum margin 50
+  453-skeleton/RayTracerBVH.cpp:192,247  512 traversal steps, stack depth 128
+  453-skeleton/RayTracerBVH.cpp:755      ray-trace frustum margin 150
+  453-skeleton/main.cpp:1204,1348        frame decimation 7 (raymarch) / 6 (trace)
+  453-skeleton/shaders/raycastFS.glsl:595,622,37   800 step cap, -350 distance
+                                         scaling, alpha cutoff 0.95
+  453-skeleton/shaders/raycastFS.glsl:245,840      8 shadow steps, 6 refine iters
+  453-skeleton/VolumeRaycastRenderer.cpp:1745      indirect light radius 6
+  453-skeleton/VolumeRaycastRenderer.cpp:497-505   carve radius clamp 6, batch 4
+  453-skeleton/AdaptiveDualContouringRenderer.cpp:96-145  QEF reg 0.3, relax 0.7,
+                                         mix 0.2; constrained-mix 0.1
+  453-skeleton/AdaptiveDualContouringRenderer.cpp:1183-1220 snap threshold 0.85,
+                                         plane-alignment threshold 0.7
+  453-skeleton/AdaptiveDualContouringRenderer.cpp:683-685  max size ratio 2
+  453-skeleton/BuildingLoader.cpp:200-209 grid-axis clamp 1000 (auto-coarsen)
+  453-skeleton/Camera.cpp:31-34          fov 45 deg, near 0.1, far 5000
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class QEFConfig:
+    """Quadric-error-function solve knobs (AdaptiveDualContouringRenderer.cpp:84-161)."""
+
+    regularization: float = 0.3
+    relaxation: float = 0.7
+    masspoint_mix: float = 0.2          # mix(solution, masspoint, 0.2)
+    constrained_masspoint_mix: float = 0.1  # final mix in generateDualVertex
+    min_points_for_solve: int = 3        # numPoints <= 2 -> masspoint
+    snap_normal_threshold: float = 0.85  # architectural axis snapping
+    plane_alignment_threshold: float = 0.7
+    bounds_inset_factor: float = 0.001   # inset = cellSize * 0.001
+
+
+@dataclasses.dataclass(frozen=True)
+class DCConfig:
+    """Adaptive dual contouring knobs."""
+
+    qef: QEFConfig = QEFConfig()
+    max_size_ratio: int = 2              # neighbor-leaf LOD constraint
+    degenerate_area_eps: float = 1e-6
+    stride_large_cell: int = 2           # hermite scan stride when size > 8
+    stride_switch_size: int = 8
+    always_fine_size: int = 4            # size <= 4 -> stride 1
+    face_fan_divisions: int = 2          # boundary face-fan subdivision
+
+
+@dataclasses.dataclass(frozen=True)
+class RayTraceConfig:
+    """Octree ray-trace pipeline (RayTracerBVH.cpp)."""
+
+    max_traversal_steps: int = 512
+    frustum_margin: float = 150.0
+    frame_interval: int = 6              # re-render every Nth frame
+    light_dir: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    base_color: Tuple[float, float, float] = (1.0, 0.8, 0.6)
+    ambient: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+
+
+@dataclasses.dataclass(frozen=True)
+class RaymarchConfig:
+    """Volume raymarch pipeline (VolumeRaycastRenderer + raycastFS.glsl)."""
+
+    max_steps: int = 800
+    distance_step_scale: float = 350.0   # maxSteps - ceil(dist*350)
+    alpha_cutoff: float = 0.95
+    base_step_divisor_near: float = 2048.0
+    base_step_divisor_far: float = 1024.0
+    shadow_steps: int = 8
+    edge_refine_iters: int = 6
+    indirect_light_radius: int = 6
+    frame_interval: int = 7
+    skip_mip_levels: int = 4             # mip-pyramid empty-space skipping
+    skip_tex_downsample: int = 8         # low-res skip texture factor
+    carve_radius_clamp: float = 6.0
+    carve_batch: int = 4
+    carve_default_radius: float = 0.5
+    frustum_fov_narrow_deg: float = 42.0
+    frustum_margin_scale: float = 0.8
+    pick_max_steps: int = 8000
+    taa_jitter: bool = True
+    octree_skip_probe: int = 7           # 7x7 central ray grid
+    octree_skip_percentile: float = 0.15
+    octree_skip_safety: float = 0.75
+    octree_skip_blend: float = 0.4
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Orbital camera (Camera.cpp)."""
+
+    fov_deg: float = 45.0
+    near: float = 0.1
+    far: float = 5000.0
+    min_radius: float = 0.1
+    orbit_rate: float = 0.01             # dt / 100
+    pan_rate: float = 0.001              # radius * 0.001
+
+
+@dataclasses.dataclass(frozen=True)
+class IngestConfig:
+    """CSV voxelization (BuildingLoader.cpp)."""
+
+    max_grid_axis: int = 1000            # auto-coarsen voxelSize above this
+    padding_voxels: int = 1              # AABB pad in voxels
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine configuration."""
+
+    # Scene (main.cpp:1022-1025)
+    use_buildings: bool = True           # "useGDB": CSV/cache scene vs sphere
+    sphere_dim: int = 256
+    voxel_size: float = 10.0
+    cache_filename: str = "sceneCache.bin"
+
+    # Window / framebuffer (main.cpp:990)
+    width: int = 1300
+    height: int = 1300
+
+    # Frustum culling margin for mesh extraction (main.cpp:101)
+    extraction_frustum_margin: float = 50.0
+
+    camera: CameraConfig = CameraConfig()
+    ingest: IngestConfig = IngestConfig()
+    dc: DCConfig = DCConfig()
+    raytrace: RayTraceConfig = RayTraceConfig()
+    raymarch: RaymarchConfig = RaymarchConfig()
+
+    # Capacity bounds for static-shape outputs (XLA has no push_back; every
+    # dynamic emission is prefix-sum compaction into a bounded buffer).
+    max_triangles: int = 4_000_000
+    max_octree_nodes: int = 2_000_000
+    max_hermite_points: int = 10_000_000  # AdaptiveDualContouringRenderer.cpp:321
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = EngineConfig()
