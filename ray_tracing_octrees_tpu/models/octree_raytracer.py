@@ -1,0 +1,144 @@
+"""Octree ray-trace pipeline ("BVHRayTrace" mode).
+
+Model equivalent of ``RayTracerBVH`` (RayTracerBVH.{h,cpp}): per-pixel
+pinhole rays traced against the scene octree with Lambert shading, frustum
+culling, and frame-interval scheduling handled by the app shell.
+
+The GLSL kernel's outputs are reproduced (hit point, node-center normal,
+``shade`` at RayTracerBVH.cpp:331-336: warm base color * N.L + ambient,
+black background) but the traversal is the stackless hierarchical-DDA
+wavefront of ``trace_octree`` rather than a per-thread stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ray_tracing_octrees_tpu.config import EngineConfig, DEFAULT_CONFIG
+from ray_tracing_octrees_tpu.core.grid import VoxelGrid
+from ray_tracing_octrees_tpu.core.octree import OccupancyPyramid, build_pyramid
+from ray_tracing_octrees_tpu.render.camera import Camera, generate_rays
+from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree, cull_pyramid
+
+
+def lambert_shade(normal, hit, light_dir, base_color, ambient):
+    """shade() (RayTracerBVH.cpp:331-336): base * max(0, N . -L) + ambient."""
+    l = jnp.asarray(light_dir, jnp.float32)
+    l = l / jnp.linalg.norm(l)
+    ndotl = jnp.maximum(0.0, -(normal * l[None, :]).sum(-1))
+    base = jnp.asarray(base_color, jnp.float32)
+    amb = jnp.asarray(ambient, jnp.float32)
+    color = base[None, :] * ndotl[:, None] + amb[None, :]
+    return jnp.where(hit[:, None], color, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_steps", "shadows")
+)
+def render_octree_image(
+    pyramid: OccupancyPyramid,
+    grid_origin,
+    voxel_size,
+    cam_pos,
+    view,
+    width: int,
+    height: int,
+    fov_deg,
+    aspect,
+    light_dir=(-1.0, -1.0, -1.0),
+    base_color=(1.0, 0.8, 0.6),
+    ambient=(0.1, 0.1, 0.1),
+    max_steps: int = 512,
+    shadows: bool = False,
+):
+    """Full frame: ray gen -> stackless octree trace -> Lambert shade.
+
+    Returns f32[height, width, 4] (row 0 = top, as generateRay's ny flip).
+    With ``shadows=True`` a second (shadow) ray is traced from each hit
+    toward the light — the "primary + shadow rays" configuration of the
+    benchmark ladder (BASELINE.json configs[3]).
+    """
+    origins, dirs = generate_rays(width, height, cam_pos, view, fov_deg, aspect)
+    res = trace_octree(
+        pyramid, origins, dirs, jnp.asarray(grid_origin, jnp.float32),
+        jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
+    )
+    color = lambert_shade(res["normal"], res["hit"], light_dir, base_color, ambient)
+    if shadows:
+        l = jnp.asarray(light_dir, jnp.float32)
+        l = l / jnp.linalg.norm(l)
+        # offset along the normal to escape the surface cell
+        shadow_o = res["point"] + res["normal"] * (voxel_size * 2.0)
+        shadow_d = jnp.broadcast_to(-l[None, :], shadow_o.shape)
+        sres = trace_octree(
+            pyramid, shadow_o, shadow_d, jnp.asarray(grid_origin, jnp.float32),
+            jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
+        )
+        occluded = sres["hit"] & res["hit"]
+        amb = jnp.asarray(ambient, jnp.float32)
+        color = jnp.where(occluded[:, None], jnp.broadcast_to(amb, color.shape), color)
+    alpha = jnp.ones((color.shape[0], 1), jnp.float32)
+    img = jnp.concatenate([color, alpha], axis=-1)
+    return img.reshape(height, width, 4)
+
+
+@dataclasses.dataclass
+class OctreeRayTracer:
+    """Stateful pipeline wrapper (mirrors RayTracerBVH's set/render API)."""
+
+    config: EngineConfig = DEFAULT_CONFIG
+    pyramid: Optional[OccupancyPyramid] = None
+    culled_pyramid: Optional[OccupancyPyramid] = None
+    grid_origin: Optional[jax.Array] = None
+    voxel_size: Optional[jax.Array] = None
+
+    def set_octree(self, grid: VoxelGrid, pyramid: Optional[OccupancyPyramid] = None):
+        """setOctree (RayTracerBVH.cpp:430-505): bind the scene."""
+        self.pyramid = pyramid if pyramid is not None else build_pyramid(grid.occ)
+        self.culled_pyramid = None
+        self.grid_origin = grid.origin
+        self.voxel_size = grid.voxel_size
+
+    def update_frustum(self, view_proj):
+        """CPU-side culling step of renderSceneComputeWithCulling
+        (RayTracerBVH.cpp:743-812), as an occupancy mask."""
+        self.culled_pyramid = cull_pyramid(
+            self.pyramid,
+            self.grid_origin,
+            self.voxel_size,
+            view_proj,
+            self.config.raytrace.frustum_margin,
+        )
+
+    def render(
+        self,
+        camera: Camera,
+        width: int,
+        height: int,
+        aspect: float,
+        use_culling: bool = False,
+        shadows: bool = False,
+    ):
+        pyr = self.culled_pyramid if (use_culling and self.culled_pyramid) else self.pyramid
+        rt = self.config.raytrace
+        return render_octree_image(
+            pyr,
+            self.grid_origin,
+            self.voxel_size,
+            jnp.asarray(camera.get_pos(), jnp.float32),
+            jnp.asarray(camera.get_view(), jnp.float32),
+            width,
+            height,
+            jnp.float32(self.config.camera.fov_deg),
+            jnp.float32(aspect),
+            light_dir=rt.light_dir,
+            base_color=rt.base_color,
+            ambient=rt.ambient,
+            max_steps=rt.max_traversal_steps,
+            shadows=shadows,
+        )

@@ -134,7 +134,7 @@ def generate_rays(width: int, height: int, cam_pos, view, fov_deg, aspect):
     Returns (origins f32[H*W, 3], directions f32[H*W, 3]) with pixel (px, py)
     at flat index py*width + px; py = 0 is the TOP row (ny = +).
     """
-    fov = jnp.float32(math.radians(fov_deg))
+    fov = jnp.asarray(fov_deg, jnp.float32) * jnp.float32(math.pi / 180.0)
     tan_half = jnp.tan(fov * 0.5)
     px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
     py = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0

@@ -1,0 +1,256 @@
+"""Stackless wavefront octree ray tracing.
+
+TPU-native replacement for the reference's per-pixel stack traversal
+(``intersectOctreeIterative``, RayTracerBVH.cpp:239-327: ``int stack[128]``
+DFS with slab tests and a 512-visit cap). Per-thread stacks and divergent
+DFS are hostile to a SIMD machine, so the traversal is reformulated as
+*hierarchical DDA with restart*: every ray repeatedly
+
+  1. locates the octree leaf containing its current point by descending the
+     occupancy pyramid (a fixed ``log2(S)`` ladder of gathers — no stack),
+  2. terminates if that leaf is solid (hit at the leaf box's entry t, normal
+     ``normalize(p - leafCenter)`` exactly as RayTracerBVH.cpp:283-287),
+  3. otherwise advances t past the leaf box's exit plane and repeats.
+
+All rays run in lockstep under ``lax.while_loop``; each iteration skips an
+entire uniform empty region, so step counts are bounded by leaf crossings
+(the analog of MAX_TRAVERSAL_STEPS = 512, RayTracerBVH.cpp:192).
+
+Unlike the reference kernel — whose DFS pops children in a fixed order and
+``break``s on the *first* solid hit found, occasionally returning a farther
+hit — this traversal is front-to-back by construction and always returns
+the true nearest hit.
+
+Frustum culling: the reference compacts the flat node array on the CPU and
+remaps child pointers (``updateNodesWithFrustumCulling``,
+RayTracerBVH.cpp:725-813). Array equivalents here: ``cull_pyramid`` masks
+the occupancy pyramid against the frustum (culled space reads as empty, so
+rays skip it) and ``compact_visible_nodes`` reproduces the node-buffer
+compaction itself (old->new index remap with children of culled nodes set
+to -1) as a jittable prefix-sum pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ray_tracing_octrees_tpu.core.octree import LinearOctree, OccupancyPyramid
+from ray_tracing_octrees_tpu.render.frustum import frustum_planes, test_aabb
+
+
+_BIG = jnp.float32(1e30)
+
+
+def _safe_inv(d):
+    eps = jnp.float32(1e-12)
+    return 1.0 / jnp.where(jnp.abs(d) < eps, jnp.where(d < 0, -eps, eps), d)
+
+
+def _degenerate_axes(d):
+    """Axes the ray effectively does not move along (relative to |d|)."""
+    mx = jnp.max(jnp.abs(d), axis=-1, keepdims=True)
+    return jnp.abs(d) <= mx * jnp.float32(1e-7)
+
+
+def _slab(o, inv_d, deg, bmin, bmax):
+    """Ray-AABB slab test (intersectAABB, RayTracerBVH.cpp:226-236).
+
+    Degenerate axes (``deg``) are handled explicitly: the interval is
+    (-inf, inf) when the origin lies within the slab and empty otherwise.
+    The usual 1/eps trick mis-signs the exit plane when the origin sits
+    *exactly on* a cell boundary with a denormal-direction component,
+    yielding t_far <= t_near and stalling the DDA.
+
+    Returns (t_near, t_far); hit iff t_near <= t_far and t_far > 0.
+    """
+    t1 = (bmin - o) * inv_d
+    t2 = (bmax - o) * inv_d
+    inside = (o >= bmin) & (o <= bmax)
+    lo = jnp.where(deg, jnp.where(inside, -_BIG, _BIG), jnp.minimum(t1, t2))
+    hi = jnp.where(deg, jnp.where(inside, _BIG, -_BIG), jnp.maximum(t1, t2))
+    t_near = lo.max(axis=-1)
+    t_far = hi.min(axis=-1)
+    return t_near, t_far
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def trace_octree(
+    pyramid: OccupancyPyramid,
+    origins: jax.Array,     # f32[N, 3] world
+    directions: jax.Array,  # f32[N, 3] world (normalized)
+    grid_origin: jax.Array,  # f32[3]
+    voxel_size: jax.Array,   # f32[]
+    max_steps: int = 512,
+) -> dict:
+    """Nearest solid-leaf hit for each ray.
+
+    Returns dict with hit (bool[N]), t (f32[N]), point (f32[N,3] world),
+    normal (f32[N,3]), steps (int32[N]).
+    """
+    n_levels = pyramid.num_levels
+    root_size = jnp.float32(pyramid.root_size)
+
+    # Voxel-space ray: p_vox = (p_world - origin) / voxel_size. The world
+    # ray parameter t is preserved by scaling the direction, not the origin.
+    o = (origins - grid_origin[None, :]) / voxel_size
+    d = directions / voxel_size
+    inv_d = _safe_inv(d)
+    deg = _degenerate_axes(d)
+
+    t_root_near, t_root_far = _slab(o, inv_d, deg, jnp.float32(0.0), root_size)
+    alive0 = (t_root_near <= t_root_far) & (t_root_far > 0)
+    t0 = jnp.maximum(t_root_near, 0.0)
+
+    n = origins.shape[0]
+    f32 = jnp.float32
+
+    # Epsilon that advances the sample point ~1e-3 voxels along the ray
+    # (|d_world| = 1, so dt of voxel_size crosses exactly one voxel), floored
+    # by float32 ulp at the current t.
+    eps_t = f32(1e-3) * voxel_size
+
+    def nudge(t):
+        return t + jnp.maximum(eps_t, jnp.abs(t) * f32(2e-6))
+
+    def find_leaf(p):
+        """Leaf containing voxel floor(p): (level, solid, cell_min, cell_size).
+
+        The leaf is the coarsest uniform cell on the root-to-voxel path;
+        uniformity is monotone downward so it's the max level whose cell is
+        uniform. Size-1 cells are trivially uniform -> always terminates.
+        """
+        v = jnp.floor(p).astype(jnp.int32)
+        leaf_level = jnp.zeros(p.shape[0], jnp.int32)
+        solid = jnp.zeros(p.shape[0], jnp.bool_)
+        found = jnp.zeros(p.shape[0], jnp.bool_)
+        # Walk from the root down; record the first uniform cell.
+        for k in range(n_levels - 1, -1, -1):
+            cx = v[:, 0] >> k
+            cy = v[:, 1] >> k
+            cz = v[:, 2] >> k
+            c_any, c_all = pyramid.cell_state(k, cx, cy, cz)
+            uniform = c_all | (~c_any)
+            take = uniform & (~found)
+            leaf_level = jnp.where(take, k, leaf_level)
+            solid = jnp.where(take, c_all, solid)
+            found = found | uniform
+        size = (jnp.int32(1) << leaf_level).astype(f32)
+        cell_min = ((v >> leaf_level[:, None]) << leaf_level[:, None]).astype(f32)
+        return solid, cell_min, size
+
+    def body(state):
+        t, alive, hit, t_hit, cmin_out, csize_out, steps = state
+        p = o + d * nudge(t)[:, None]
+        solid, cmin, csize = find_leaf(p)
+        t_near, t_far = _slab(o, inv_d, deg, cmin, cmin + csize[:, None])
+
+        new_hit = alive & solid
+        hit = hit | new_hit
+        t_hit = jnp.where(new_hit, jnp.maximum(t_near, 0.0), t_hit)
+        cmin_out = jnp.where(new_hit[:, None], cmin, cmin_out)
+        csize_out = jnp.where(new_hit, csize, csize_out)
+
+        # advance empty-leaf rays past the cell exit
+        t = jnp.where(alive & ~solid, jnp.maximum(t_far, nudge(t)), t)
+        alive = alive & ~solid & (t < t_root_far)
+        steps = steps + alive.astype(jnp.int32)
+        return t, alive, hit, t_hit, cmin_out, csize_out, steps
+
+    def cond(state):
+        _, alive, _, _, _, _, steps = state
+        return jnp.any(alive) & (steps.max() < max_steps)
+
+    state = (
+        t0,
+        alive0,
+        jnp.zeros(n, jnp.bool_),
+        jnp.zeros(n, f32),
+        jnp.zeros((n, 3), f32),
+        jnp.zeros(n, f32),
+        jnp.zeros(n, jnp.int32),
+    )
+    t, alive, hit, t_hit, cmin, csize, steps = jax.lax.while_loop(cond, body, state)
+
+    # Hit point and sphere-ish leaf normal in world space
+    # (RayTracerBVH.cpp:283-287: normalize(p - nodeCenter)).
+    point = origins + directions * t_hit[:, None]
+    center_vox = cmin + 0.5 * csize[:, None]
+    center_world = grid_origin[None, :] + center_vox * voxel_size
+    nrm = point - center_world
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-30)
+    nrm = jnp.where(hit[:, None], nrm, 0.0)
+    return dict(hit=hit, t=t_hit, point=point, normal=nrm, steps=steps)
+
+
+def cull_pyramid(
+    pyramid: OccupancyPyramid,
+    grid_origin,
+    voxel_size,
+    view_proj,
+    margin: float,
+) -> OccupancyPyramid:
+    """Frustum-cull the scene by blanking occupancy outside the frustum.
+
+    Mirrors the *effect* of updateNodesWithFrustumCulling
+    (RayTracerBVH.cpp:725-813, margin 150): space outside the (inflated)
+    frustum becomes empty, so traversal skips it. Culling is applied at the
+    finest level and re-reduced, keeping any/all levels consistent.
+    """
+    planes = frustum_planes(view_proj)
+    occ = pyramid.any_levels[0]
+    dz, dy, dx = occ.shape
+    origin = jnp.asarray(grid_origin, jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    xs = origin[0] + jnp.arange(dx, dtype=jnp.float32) * vs
+    ys = origin[1] + jnp.arange(dy, dtype=jnp.float32) * vs
+    zs = origin[2] + jnp.arange(dz, dtype=jnp.float32) * vs
+    zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    lo = jnp.stack([xx, yy, zz], axis=-1)
+    visible = test_aabb(planes, lo, lo + vs, margin) >= 0
+    from ray_tracing_octrees_tpu.core.octree import build_pyramid
+
+    return build_pyramid(occ & visible)
+
+
+@jax.jit
+def compact_visible_nodes(tree: LinearOctree, visible: jax.Array):
+    """Node-buffer compaction with child remap (RayTracerBVH.cpp:765-813).
+
+    visible: bool[N]. Returns (tree2, new_count) where tree2 has the visible
+    nodes moved to the front in original relative order, children of culled
+    nodes set to -1, and trailing slots zero-padded (static shape N).
+    """
+    n = tree.num_nodes
+    vis = visible & jnp.ones(n, bool)
+    vis = vis.at[0].set(True)  # root always kept (reference keeps index 0)
+    new_idx = jnp.cumsum(vis.astype(jnp.int32)) - 1
+    new_count = vis.sum()
+    slots = jnp.where(vis, new_idx, n)
+
+    def scatter(a, fill=0):
+        out = jnp.full((n,) + a.shape[1:], fill, a.dtype)
+        return out.at[slots].set(a, mode="drop")
+
+    # Child remap: old child -> new index if that child is visible else -1.
+    child = tree.children
+    child_ok = (child >= 0) & vis[jnp.clip(child, 0, n - 1)]
+    remapped = jnp.where(child_ok, new_idx[jnp.clip(child, 0, n - 1)], -1)
+
+    tree2 = dataclasses.replace(
+        tree,
+        x=scatter(tree.x),
+        y=scatter(tree.y),
+        z=scatter(tree.z),
+        size=scatter(tree.size),
+        is_leaf=scatter(tree.is_leaf),
+        is_solid=scatter(tree.is_solid),
+        is_uniform=scatter(tree.is_uniform),
+        children=scatter(remapped, fill=-1),
+        level=scatter(tree.level),
+    )
+    return tree2, new_count

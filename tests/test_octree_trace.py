@@ -1,0 +1,184 @@
+"""Stackless octree ray tracing vs a brute-force nearest-leaf oracle."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ray_tracing_octrees_tpu.core.grid import VoxelGrid, make_sphere_grid
+from ray_tracing_octrees_tpu.core.octree import build_pyramid, build_linear_octree
+from ray_tracing_octrees_tpu.trace.octree_trace import (
+    trace_octree,
+    compact_visible_nodes,
+)
+from ray_tracing_octrees_tpu.render.camera import Camera, generate_rays
+from ray_tracing_octrees_tpu.models.octree_raytracer import (
+    OctreeRayTracer,
+    render_octree_image,
+)
+
+
+def brute_force_hits(tree, grid, origins, dirs):
+    """Nearest solid-leaf hit by exhaustive slab tests over all solid leaves.
+
+    Implements the semantics of intersectOctreeIterative with the
+    first-hit-break artifact removed: tHit = max(0, tNear), valid iff
+    tNear <= tFar and tFar > 0; nearest over all solid leaves.
+    """
+    xs = np.asarray(tree.x, np.float64)
+    ys = np.asarray(tree.y, np.float64)
+    zs = np.asarray(tree.z, np.float64)
+    sizes = np.asarray(tree.size, np.float64)
+    solid_leaf = np.asarray(tree.is_leaf) & np.asarray(tree.is_solid)
+    origin = np.asarray(grid.origin, np.float64)
+    vs = float(grid.voxel_size)
+    bmin = origin[None, :] + np.stack([xs, ys, zs], -1)[solid_leaf] * vs
+    bmax = bmin + sizes[solid_leaf, None] * vs
+
+    hits = np.zeros(len(origins), bool)
+    t_hits = np.full(len(origins), np.inf)
+    normals = np.zeros((len(origins), 3))
+    for i, (o, d) in enumerate(zip(origins, dirs)):
+        inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+        t1 = (bmin - o) * inv
+        t2 = (bmax - o) * inv
+        tn = np.minimum(t1, t2).max(axis=1)
+        tf = np.maximum(t1, t2).min(axis=1)
+        ok = (tn <= tf) & (tf > 0)
+        if not ok.any():
+            continue
+        th = np.where(tn > 0, tn, 0.0)
+        th = np.where(ok, th, np.inf)
+        j = th.argmin()
+        hits[i] = True
+        t_hits[i] = th[j]
+        p = o + d * th[j]
+        c = 0.5 * (bmin[j] + bmax[j])
+        n = p - c
+        normals[i] = n / max(np.linalg.norm(n), 1e-30)
+    return hits, t_hits, normals
+
+
+def run_trace(grid, origins, dirs):
+    pyr = build_pyramid(grid.occ)
+    res = trace_octree(
+        pyr,
+        jnp.asarray(origins, jnp.float32),
+        jnp.asarray(dirs, jnp.float32),
+        grid.origin,
+        grid.voxel_size,
+    )
+    return {k: np.asarray(v) for k, v in res.items()}
+
+
+def random_dirs(rng, n):
+    d = rng.normal(size=(n, 3))
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("dims", [(8, 8, 8), (6, 9, 5)])
+def test_trace_matches_brute_force(rng, dims):
+    occ = (rng.random(dims) < 0.12).astype(np.uint8)
+    grid = VoxelGrid.create(occ, origin=(-1.0, -2.0, 0.5), voxel_size=0.3)
+    tree = build_linear_octree(occ)
+
+    n = 200
+    # rays from a shell around the grid toward random interior points
+    center = np.asarray(grid.world_min) + 0.5 * (
+        np.asarray(grid.world_max) - np.asarray(grid.world_min)
+    )
+    origins = center + random_dirs(rng, n) * 5.0
+    targets = center + (rng.random((n, 3)) - 0.5) * 2.0
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    res = run_trace(grid, origins.astype(np.float32), dirs.astype(np.float32))
+    ref_hit, ref_t, ref_n = brute_force_hits(tree, grid, origins, dirs)
+
+    # Tolerate boundary-grazing disagreements (hits within ~1e-3 voxel of a
+    # face can differ between float32 DDA and float64 brute force).
+    agree = res["hit"] == ref_hit
+    assert agree.mean() > 0.98, f"hit agreement {agree.mean()}"
+    both = res["hit"] & ref_hit
+    np.testing.assert_allclose(res["t"][both], ref_t[both], atol=5e-3, rtol=1e-4)
+    # normals from the same leaf center
+    dot = (res["normal"][both] * ref_n[both]).sum(1)
+    assert (dot > 0.999).mean() > 0.98
+
+
+def test_rays_from_inside_solid():
+    occ = np.ones((4, 4, 4), np.uint8)
+    grid = VoxelGrid.create(occ)
+    o = np.array([[2.0, 2.0, 2.0]], np.float32)
+    d = np.array([[1.0, 0.0, 0.0]], np.float32)
+    res = run_trace(grid, o, d)
+    assert res["hit"][0]
+    assert res["t"][0] == 0.0  # tHit = max(0, tNear) when starting inside
+
+
+def test_miss_everything():
+    occ = np.zeros((4, 4, 4), np.uint8)
+    occ[1, 1, 1] = 1
+    grid = VoxelGrid.create(occ)
+    o = np.array([[10.0, 10.0, 10.0]], np.float32)
+    d = np.array([[1.0, 0.0, 0.0]], np.float32)
+    res = run_trace(grid, o, d)
+    assert not res["hit"][0]
+
+
+def test_sphere_hit_distance_analytic():
+    """Rays at the 256^3-style sphere scene: hit at the outer shell radius."""
+    grid = make_sphere_grid(64)
+    # outer radius = 0.4 * 64 voxels of size 1/64 -> 0.4 world units around 0
+    n = 64
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    origins = np.stack(
+        [2.0 * np.cos(ang), np.zeros(n), 2.0 * np.sin(ang)], -1
+    ).astype(np.float32)
+    dirs = -origins / np.linalg.norm(origins, axis=1, keepdims=True)
+    res = run_trace(grid, origins.astype(np.float32), dirs.astype(np.float32))
+    assert res["hit"].all()
+    # entry distance ~ 2.0 - 0.4, within a voxel (1/64) + center offset 0.5 vox
+    np.testing.assert_allclose(res["t"], 1.6, atol=2.5 / 64)
+
+
+def test_render_image_sphere():
+    grid = make_sphere_grid(32)
+    tracer = OctreeRayTracer()
+    tracer.set_octree(grid)
+    cam = Camera(theta=0.3, phi=0.7, radius=2.0)
+    img = np.asarray(tracer.render(cam, 64, 64, aspect=1.0))
+    assert img.shape == (64, 64, 4)
+    # sphere visible in the middle; background black
+    assert img[32, 32, :3].max() > 0.05
+    assert img[0, 0, :3].max() == 0.0
+    assert np.all(img[..., 3] == 1.0)
+    # shadows variant runs and darkens or equals
+    img_s = np.asarray(tracer.render(cam, 64, 64, aspect=1.0, shadows=True))
+    assert img_s[..., :3].sum() <= img[..., :3].sum() + 1e-3
+
+
+def test_compact_visible_nodes_remap(rng):
+    occ = (rng.random((8, 8, 8)) < 0.3).astype(np.uint8)
+    tree = build_linear_octree(occ)
+    n = tree.num_nodes
+    visible = np.asarray(rng.random(n) < 0.7)
+    tree2, count = compact_visible_nodes(tree, jnp.asarray(visible))
+    count = int(count)
+    vis = visible.copy()
+    vis[0] = True
+    assert count == vis.sum()
+    # surviving nodes keep their coords, in original relative order
+    old_idx = np.nonzero(vis)[0]
+    np.testing.assert_array_equal(np.asarray(tree2.x)[:count], np.asarray(tree.x)[old_idx])
+    np.testing.assert_array_equal(np.asarray(tree2.size)[:count], np.asarray(tree.size)[old_idx])
+    # children of culled nodes are -1; surviving children point at the
+    # remapped position of the same node
+    ch_old = np.asarray(tree.children)
+    ch_new = np.asarray(tree2.children)
+    new_of_old = -np.ones(n, np.int64)
+    new_of_old[old_idx] = np.arange(count)
+    for ni, oi in enumerate(old_idx):
+        for c in range(8):
+            oc = ch_old[oi, c]
+            expect = -1 if oc < 0 or not vis[oc] else new_of_old[oc]
+            assert ch_new[ni, c] == expect
