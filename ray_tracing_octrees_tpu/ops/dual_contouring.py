@@ -1,0 +1,728 @@
+"""Dual contouring — hermite data, per-cell dual vertices, triangle topology.
+
+TPU-native rebuild of ``AdaptiveDualContouringRenderer`` with two paths:
+
+1. ``dual_contour_uniform`` — the single-pass per-voxel design the reference
+   *intended* on the GPU (render(): executeComputeShaderSinglePass +
+   buildTrianglesCPU, AdaptiveDualContouringRenderer.cpp:281-525). The
+   shipped GPU path is broken (missing shader file + mismatched buffer
+   layout, SURVEY.md §2.3) — this implements the fixed design: one dual
+   vertex per voxel cell, then two triangles per sign-change face using the
+   four cell vertices around it (buildTrianglesCPU's +X/+Y/+Z quad rule,
+   AdaptiveDualContouringRenderer.cpp:436-487).
+
+2. ``dual_contour_adaptive`` — the octree-leaf LOD path (createTriangles,
+   AdaptiveDualContouringRenderer.cpp:528-803): per surface-leaf dual
+   vertices, min-corner-edge quads over up to four edge-adjacent leaves with
+   the <= 2x size-ratio constraint, inside/outside normal flips and the
+   1e-6 degenerate-area filter, plus the boundary face-fan fallback
+   (createFaceTriangles, :805-1088).
+
+   Deliberate divergence (defect not replicated): the reference computes an
+   adjacent leaf's dual vertex with the *querying* cell's size and caches it
+   under the neighbor's key, so results depend on traversal order
+   (AdaptiveDualContouringRenderer.cpp:699-723). Here every leaf's vertex is
+   always computed from its own extent — deterministic and order-free.
+
+Hermite intersections follow ``calculateIntersection``
+(AdaptiveDualContouringRenderer.cpp:1236-1357): edge midpoints (t = 0.5 for
+the +-1 field), central-difference normals perpendicular to the edge axis,
+oriented filled -> empty.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracing_octrees_tpu.config import DCConfig, QEFConfig
+from ray_tracing_octrees_tpu.core.grid import VoxelGrid
+from ray_tracing_octrees_tpu.ops.compaction import compact_indices
+from ray_tracing_octrees_tpu.ops.qef import generate_dual_vertex
+
+_DC = DCConfig()
+
+_AXES = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.int32)
+
+
+def edge_hermite(grid: VoxelGrid, x, y, z, axis: int):
+    """Hermite point of the lattice edge (x,y,z) -> +axis.
+
+    Vectorized over index arrays. Returns (crossing bool, pos f32[...,3],
+    normal f32[...,3]); ``crossing`` is False when either endpoint is out
+    of bounds (gatherHermiteData skips those).
+    """
+    ax = _AXES[axis]
+    x2, y2, z2 = x + ax[0], y + ax[1], z + ax[2]
+    dims = grid.dims_xyz
+    inb1 = (x >= 0) & (y >= 0) & (z >= 0) & (x < dims[0]) & (y < dims[1]) & (z < dims[2])
+    inb2 = (x2 < dims[0]) & (y2 < dims[1]) & (z2 < dims[2])
+    f1 = grid.sample_safe(x, y, z) > 0
+    f2 = grid.sample_safe(x2, y2, z2) > 0
+    crossing = inb1 & inb2 & (f1 != f2)
+
+    # midpoint (t = v1/(v1-v2) = 0.5 exactly for the +-1 field)
+    p1 = grid.grid_to_world(x, y, z)
+    p2 = grid.grid_to_world(x2, y2, z2)
+    pos = p1 + 0.5 * (p2 - p1)
+
+    # central-difference normal perpendicular to the edge at point 1
+    s = grid.scalar_field_safe
+    if axis == 0:
+        g1 = s(x, y + 1, z) - s(x, y - 1, z)
+        g2 = s(x, y, z + 1) - s(x, y, z - 1)
+        n = jnp.stack([jnp.zeros_like(g1), g1, g2], -1)
+    elif axis == 1:
+        g1 = s(x + 1, y, z) - s(x - 1, y, z)
+        g2 = s(x, y, z + 1) - s(x, y, z - 1)
+        n = jnp.stack([g1, jnp.zeros_like(g1), g2], -1)
+    else:
+        g1 = s(x + 1, y, z) - s(x - 1, y, z)
+        g2 = s(x, y + 1, z) - s(x, y - 1, z)
+        n = jnp.stack([g1, g2, jnp.zeros_like(g1)], -1)
+
+    len2 = (n * n).sum(-1)
+    edge_dir = jnp.asarray(ax, jnp.float32)
+    n_unit = n / jnp.maximum(jnp.sqrt(len2)[..., None], 1e-30)
+    n = jnp.where((len2 < 1e-10)[..., None], edge_dir, n_unit)
+
+    # orientation: flip when (n . edge > 0) == isFilled2
+    # (AdaptiveDualContouringRenderer.cpp:1338-1346)
+    dot = (n * edge_dir).sum(-1)
+    points_with_edge = dot > 0
+    flip = points_with_edge == f2
+    n = jnp.where(flip[..., None], -n, n)
+    return crossing, pos, n
+
+
+def gather_cell_hermite(grid: VoxelGrid, cx, cy, cz, size: int, stride: int):
+    """gatherHermiteData for cells of one static size/stride.
+
+    cx/cy/cz: int32[C] cell corners. Scans lattice offsets 0, stride, ...
+    <= size in each axis (points beyond dim-1 are masked — the reference
+    clamps maxX to dim-1) and the 3 forward edges per point
+    (AdaptiveDualContouringRenderer.cpp:1090-1144).
+
+    Returns (points f32[C, K, 3], normals f32[C, K, 3], mask bool[C, K])
+    with K = 3 * n_offsets^3.
+    """
+    offs = np.arange(0, size + 1, stride, dtype=np.int32)
+    oz, oy, ox = np.meshgrid(offs, offs, offs, indexing="ij")
+    ox = ox.reshape(-1)
+    oy = oy.reshape(-1)
+    oz = oz.reshape(-1)  # [P]
+    dims = grid.dims_xyz
+
+    px = cx[:, None] + ox[None, :]
+    py = cy[:, None] + oy[None, :]
+    pz = cz[:, None] + oz[None, :]
+    # scan bounds: point <= min(c+size, dim-1) per axis (offsets already
+    # bound by size; mask the dim-1 clamp)
+    in_scan = (px <= dims[0] - 1) & (py <= dims[1] - 1) & (pz <= dims[2] - 1)
+
+    pts, nrms, msks = [], [], []
+    for axis in range(3):
+        crossing, pos, n = edge_hermite(grid, px, py, pz, axis)
+        msks.append(crossing & in_scan)
+        pts.append(pos)
+        nrms.append(n)
+    points = jnp.concatenate(pts, axis=1)
+    normals = jnp.concatenate(nrms, axis=1)
+    mask = jnp.concatenate(msks, axis=1)
+    return points, normals, mask
+
+
+def _quad_triangles(v00, v01, v11, v10, invert, eps: float):
+    """addQuad (AdaptiveDualContouringRenderer.cpp:393-433): two triangles
+    (v00, v01, v11) and (v00, v11, v10) with area > eps filters and flat
+    normals flipped by ``invert``. Returns (verts[...,2,3,3],
+    normals[...,2,3], keep[...,2])."""
+
+    def tri(a, b, c):
+        e1 = b - a
+        e2 = c - a
+        cr = jnp.cross(e1, e2)
+        area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+        n = cr / jnp.maximum(jnp.linalg.norm(cr, axis=-1, keepdims=True), 1e-30)
+        n = jnp.where(invert[..., None], -n, n)
+        return jnp.stack([a, b, c], axis=-2), n, area > eps
+
+    va, na, ka = tri(v00, v01, v11)
+    vb, nb, kb = tri(v00, v11, v10)
+    verts = jnp.stack([va, vb], axis=-3)
+    normals = jnp.stack([na, nb], axis=-2)
+    keep = jnp.stack([ka, kb], axis=-1)
+    return verts, normals, keep
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_cells", "max_triangles")
+)
+def dual_contour_uniform(
+    grid: VoxelGrid,
+    max_cells: int,
+    max_triangles: int,
+    qef_cfg: QEFConfig = QEFConfig(),
+):
+    """Single-pass per-voxel DC (the fixed GPU design).
+
+    Returns (verts f32[max_triangles, 3, 3], normals f32[max_triangles, 3],
+    count int32).
+    """
+    dx, dy, dz = grid.dims_xyz
+    occ = grid.occ > 0
+
+    # --- per-voxel dual vertices -------------------------------------------------
+    # A cell needs a computed vertex iff its size-1 hermite scan is nonempty;
+    # everything else defaults to the cell center (generateDualVertex's
+    # empty-set early-out). Cell activity from shifted edge-crossing masks:
+    ex = occ[:, :, :-1] != occ[:, :, 1:]  # edge (x,y,z)->(x+1,y,z): [Z,Y,X-1]
+    ey = occ[:, :-1, :] != occ[:, 1:, :]
+    ez = occ[:-1, :, :] != occ[1:, :, :]
+
+    def cell_any(edge_mask, axis):
+        """Does cell (x,y,z) scan an active edge? Scan points are the cell's
+        8 corners (clamped); an axis-a edge at point p is scanned by cells
+        with corner offsets 0/1 in every axis."""
+        pad = jnp.zeros_like(edge_mask, shape=(dz + 1, dy + 1, dx + 1))
+        m = pad.at[: edge_mask.shape[0], : edge_mask.shape[1], : edge_mask.shape[2]].set(
+            edge_mask
+        )
+        # cell c scans points c + {0,1}^3 -> OR over the 8 shifts
+        acc = jnp.zeros((dz, dy, dx), bool)
+        for ddz in (0, 1):
+            for ddy in (0, 1):
+                for ddx in (0, 1):
+                    acc = acc | m[ddz : ddz + dz, ddy : ddy + dy, ddx : ddx + dx]
+        return acc
+
+    active = cell_any(ex, 0) | cell_any(ey, 1) | cell_any(ez, 2)
+    cell_idx, n_active = compact_indices(active, max_cells)
+    acz = cell_idx // (dy * dx)
+    rem = cell_idx - acz * (dy * dx)
+    acy = rem // dx
+    acx = rem - acy * dx
+
+    pts, nrms, msk = gather_cell_hermite(grid, acx, acy, acz, size=1, stride=1)
+    valid_cell = jnp.arange(max_cells) < n_active
+    msk = msk & valid_cell[:, None]
+
+    centers = grid.voxel_center(acx, acy, acz)
+    cell_size = jnp.broadcast_to(grid.voxel_size, centers.shape[:1])
+    dual = generate_dual_vertex(pts, nrms, msk, centers, cell_size, qef_cfg)
+
+    # dense vertex field: default = voxel center
+    xs = jnp.arange(dx, dtype=jnp.int32)
+    ys = jnp.arange(dy, dtype=jnp.int32)
+    zs = jnp.arange(dz, dtype=jnp.int32)
+    zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    vert_field = grid.voxel_center(xx, yy, zz)  # [Z, Y, X, 3]
+    flat_field = vert_field.reshape(-1, 3)
+    slots = jnp.where(valid_cell, cell_idx, flat_field.shape[0])
+    flat_field = flat_field.at[slots].set(dual, mode="drop")
+    vert_field = flat_field.reshape(dz, dy, dx, 3)
+
+    # --- face quads ---------------------------------------------------------------
+    # buildTrianglesCPU loops cells in [0, dim-1)^3 checking +X/+Y/+Z.
+    fz_, fy_, fx_ = dz - 1, dy - 1, dx - 1
+    inner = (slice(0, fz_), slice(0, fy_), slice(0, fx_))
+    c_fill = occ[inner]
+    face_x = c_fill != occ[:fz_, :fy_, 1 : fx_ + 1]
+    face_y = c_fill != occ[:fz_, 1 : fy_ + 1, :fx_]
+    face_z = occ[1 : fz_ + 1, :fy_, :fx_] != c_fill
+
+    n_cells_f = fz_ * fy_ * fx_
+    faces = jnp.stack(
+        [face_x.reshape(-1), face_y.reshape(-1), face_z.reshape(-1)], axis=1
+    ).reshape(-1)  # [n_cells_f * 3] order: cell-major, then +X, +Y, +Z
+    invert_all = jnp.stack([c_fill.reshape(-1)] * 3, axis=1).reshape(-1)
+
+    max_faces = max_triangles  # each face emits <= 2 tris; capacity shared
+    fidx, n_faces = compact_indices(faces, max_faces)
+    f_cell = fidx // 3
+    f_dir = fidx - f_cell * 3
+    cz_ = f_cell // (fy_ * fx_)
+    remf = f_cell - cz_ * (fy_ * fx_)
+    cy_ = remf // fx_
+    cx_ = remf - cy_ * fx_
+    f_valid = jnp.arange(max_faces) < n_faces
+
+    def vert_at(x, y, z):
+        return vert_field[z, y, x]
+
+    # quad corner pattern per direction (buildTrianglesCPU:441-482):
+    #  +X: V00=(x,y,z)   V01=(x,y+1,z) V10=(x+1,y,z) V11=(x+1,y+1,z)
+    #  +Y: V00=(x,y,z)   V01=(x+1,y,z) V10=(x,y+1,z) V11=(x+1,y+1,z)
+    #  +Z: V00=(x,y,z)   V01=(x,y+1,z) V10=(x,y,z+1) V11=(x,y+1,z+1)
+    d01 = jnp.asarray(np.array([[0, 1, 0], [1, 0, 0], [0, 1, 0]]), jnp.int32)[f_dir]
+    d10 = jnp.asarray(np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]]), jnp.int32)[f_dir]
+    v00 = vert_at(cx_, cy_, cz_)
+    v01 = vert_at(cx_ + d01[:, 0], cy_ + d01[:, 1], cz_ + d01[:, 2])
+    v10 = vert_at(cx_ + d10[:, 0], cy_ + d10[:, 1], cz_ + d10[:, 2])
+    v11 = vert_at(
+        cx_ + d01[:, 0] + d10[:, 0],
+        cy_ + d01[:, 1] + d10[:, 1],
+        cz_ + d01[:, 2] + d10[:, 2],
+    )
+    invert = invert_all[fidx] & f_valid
+
+    verts2, normals2, keep2 = _quad_triangles(
+        v00, v01, v11, v10, invert, _DC.degenerate_area_eps
+    )
+    keep2 = keep2 & f_valid[:, None]
+
+    tri_idx, n_tris = compact_indices(keep2.reshape(-1), max_triangles)
+    verts = verts2.reshape(-1, 3, 3)[tri_idx]
+    normals = normals2.reshape(-1, 3)[tri_idx]
+    t_valid = jnp.arange(max_triangles) < n_tris
+    verts = jnp.where(t_valid[:, None, None], verts, 0.0)
+    normals = jnp.where(t_valid[:, None], normals, 0.0)
+    return verts, normals, n_tris
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (octree-leaf) dual contouring
+# ---------------------------------------------------------------------------
+
+def cell_contains_surface(grid: VoxelGrid, cx, cy, cz, size: int):
+    """Port of cellContainsSurface (AdaptiveDualContouringRenderer.cpp:1367-1530).
+
+    Vectorized over leaf corner arrays for one static ``size``: corner
+    disagreement test, strided diagonal face probes on all six faces, and
+    the exhaustive interior scan for size <= 4.
+    """
+    dx, dy, dz = grid.dims_xyz
+    min_x = jnp.maximum(cx, 0)
+    min_y = jnp.maximum(cy, 0)
+    min_z = jnp.maximum(cz, 0)
+    max_x = jnp.minimum(cx + size, dx)
+    max_y = jnp.minimum(cy + size, dy)
+    max_z = jnp.minimum(cz + size, dz)
+    nonempty = (min_x < max_x) & (min_y < max_y) & (min_z < max_z)
+
+    def occ_at(x, y, z):
+        inb = (x >= 0) & (y >= 0) & (z >= 0) & (x < dx) & (y < dy) & (z < dz)
+        return inb, grid.sample_safe(x, y, z) > 0
+
+    # --- corners -----------------------------------------------------------------
+    any_filled = jnp.zeros_like(nonempty)
+    any_empty = jnp.zeros_like(nonempty)
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                qx = jnp.where(sx, max_x - 1, min_x)
+                qy = jnp.where(sy, max_y - 1, min_y)
+                qz = jnp.where(sz, max_z - 1, min_z)
+                inb, f = occ_at(qx, qy, qz)
+                any_filled = any_filled | (inb & f)
+                any_empty = any_empty | (inb & ~f)
+    result = any_filled & any_empty
+
+    # --- strided diagonal face probes ---------------------------------------------
+    stride = max(1, size // 4)
+    for off in range(0, size, stride):
+        # X direction: probe column (y1, z1) = (minY+off, minZ+off)
+        y1 = min_y + off
+        z1 = min_z + off
+        okx = (y1 < max_y) & (z1 < max_z)
+        for xa, xb in ((min_x - 1, min_x), (max_x - 1, max_x)):
+            inb = (xa >= 0) & (xb < dx) & okx
+            _, f1 = occ_at(jnp.maximum(xa, 0), y1, z1)
+            _, f2 = occ_at(jnp.minimum(xb, dx - 1), y1, z1)
+            result = result | (inb & (f1 != f2))
+        # Y direction
+        x1 = min_x + off
+        z1 = min_z + off
+        oky = (x1 < max_x) & (z1 < max_z)
+        for ya, yb in ((min_y - 1, min_y), (max_y - 1, max_y)):
+            inb = (ya >= 0) & (yb < dy) & oky
+            _, f1 = occ_at(x1, jnp.maximum(ya, 0), z1)
+            _, f2 = occ_at(x1, jnp.minimum(yb, dy - 1), z1)
+            result = result | (inb & (f1 != f2))
+        # Z direction
+        x1 = min_x + off
+        y1 = min_y + off
+        okz = (x1 < max_x) & (y1 < max_y)
+        for za, zb in ((min_z - 1, min_z), (max_z - 1, max_z)):
+            inb = (za >= 0) & (zb < dz) & okz
+            _, f1 = occ_at(x1, y1, jnp.maximum(za, 0))
+            _, f2 = occ_at(x1, y1, jnp.minimum(zb, dz - 1))
+            result = result | (inb & (f1 != f2))
+
+    # --- exhaustive interior scan for small cells ----------------------------------
+    if size <= 4:
+        for oz in range(size):
+            for oy in range(size):
+                for ox in range(size):
+                    x = min_x + ox
+                    y = min_y + oy
+                    z = min_z + oz
+                    inb = (x < max_x - 1) & (y < max_y - 1) & (z < max_z - 1)
+                    _, f = occ_at(x, y, z)
+                    _, fx = occ_at(x + 1, y, z)
+                    _, fy = occ_at(x, y + 1, z)
+                    _, fz = occ_at(x, y, z + 1)
+                    result = result | (inb & ((f != fx) | (f != fy) | (f != fz)))
+
+    return result & nonempty
+
+
+_PERP = {0: (1, 2), 1: (0, 2), 2: (0, 1)}  # dir -> perpendicular axes
+
+
+def _node_centers(tree, grid: VoxelGrid):
+    """Per-node cell center with each node's own size."""
+    corner = grid.grid_to_world(tree.x, tree.y, tree.z)
+    return corner + 0.5 * tree.size[:, None].astype(jnp.float32) * grid.voxel_size
+
+
+def adaptive_dual_contouring(
+    grid: VoxelGrid,
+    tree,
+    node_mask=None,
+    max_triangles_per_level: int = 262144,
+    qef_cfg: QEFConfig = QEFConfig(),
+    dc_cfg: DCConfig = DCConfig(),
+    with_boundary_fans: bool = True,
+):
+    """Adaptive octree-leaf DC (createTriangles semantics, order-free).
+
+    Host-orchestrated over octree levels (the structure is static per
+    scene); each level runs as one jitted batch. Returns (verts, normals)
+    as stacked numpy-backed jnp arrays plus the count.
+
+    node_mask: optional bool[N] visibility (frustum culling at margin 50,
+    as renderOctree applies before calling render(), main.cpp:154-189).
+    """
+    import numpy as _np
+
+    leaf = _np.asarray(tree.is_leaf)
+    level = _np.asarray(tree.level)
+    n_nodes = tree.num_nodes
+
+    # ---- pass 0: surface leaves & crossing edges per level ----------------------
+    levels_present = sorted(set(level[leaf].tolist()))
+    surface_by_level = {}
+    need_vertex = jnp.zeros((n_nodes,), bool)
+    adj_ids_by_level = {}
+
+    for k in levels_present:
+        ids = _np.nonzero(leaf & (level == k))[0]
+        if len(ids) == 0:
+            continue
+        ids_j = jnp.asarray(ids, jnp.int32)
+        s = 1 << k
+        cx = tree.x[ids_j]
+        cy = tree.y[ids_j]
+        cz = tree.z[ids_j]
+        surf = cell_contains_surface(grid, cx, cy, cz, s)
+        if node_mask is not None:
+            surf = surf & node_mask[ids_j]
+        surface_by_level[k] = (ids_j, surf)
+
+        # min-corner edges (the only non-degenerate case, see module doc)
+        dims = grid.dims_xyz
+        adj_per_dir = []
+        for d in range(3):
+            ax = _AXES[d]
+            ex2 = cx + s * ax[0]
+            ey2 = cy + s * ax[1]
+            ez2 = cz + s * ax[2]
+            inb = (
+                (cx >= 0) & (cy >= 0) & (cz >= 0)
+                & (cx < dims[0]) & (cy < dims[1]) & (cz < dims[2])
+                & (ex2 >= 0) & (ey2 >= 0) & (ez2 >= 0)
+                & (ex2 < dims[0]) & (ey2 < dims[1]) & (ez2 < dims[2])
+            )
+            f1 = grid.sample_safe(cx, cy, cz) > 0
+            f2 = grid.sample_safe(ex2, ey2, ez2) > 0
+            crossing = surf & inb & (f1 != f2)
+
+            a1, a2 = _PERP[d]
+            adj_info = []
+            for da1, da2 in ((1, 0), (0, 1), (1, 1)):
+                off = _np.zeros(3, _np.int32)
+                off[a1] = da1 * s
+                off[a2] = da2 * s
+                ax_ = cx - off[0]
+                ay_ = cy - off[1]
+                az_ = cz - off[2]
+                inb_a = (
+                    (ax_ >= 0) & (ay_ >= 0) & (az_ >= 0)
+                    & (ax_ < dims[0]) & (ay_ < dims[1]) & (az_ < dims[2])
+                )
+                nid = tree.find_node(ax_, ay_, az_)
+                nid_c = jnp.clip(nid, 0, n_nodes - 1)
+                ok = (
+                    inb_a
+                    & (nid >= 0)
+                    & tree.is_leaf[nid_c]
+                    & (
+                        jnp.maximum(s, tree.size[nid_c])
+                        <= jnp.minimum(s, tree.size[nid_c]) * dc_cfg.max_size_ratio
+                    )
+                    & crossing
+                )
+                adj_info.append((jnp.where(ok, nid, -1), ok))
+            adj_per_dir.append((crossing, adj_info))
+        adj_ids_by_level[k] = adj_per_dir
+
+        # need-vertex: surface leaves + valid adjacents
+        need_vertex = need_vertex.at[ids_j].set(
+            need_vertex[ids_j] | surf, mode="drop"
+        )
+        for crossing, adj_info in adj_per_dir:
+            for nid, ok in adj_info:
+                nid_c = jnp.clip(nid, 0, n_nodes - 1)
+                need_vertex = need_vertex.at[nid_c].set(
+                    need_vertex[nid_c] | ok, mode="drop"
+                )
+
+        # potential boundary-fan participants: face neighbors of boundary
+        # surface leaves also need their (own-size) dual vertex
+        at_boundary = (
+            (cx == 0) | (cy == 0) | (cz == 0)
+            | (cx + s >= dims[0]) | (cy + s >= dims[1]) | (cz + s >= dims[2])
+        )
+        fan_possible = surf & at_boundary
+        for fd in ([1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]):
+            nx_ = cx + fd[0] * s
+            ny_ = cy + fd[1] * s
+            nz_ = cz + fd[2] * s
+            inb_f = (
+                (nx_ >= 0) & (ny_ >= 0) & (nz_ >= 0)
+                & (nx_ < dims[0]) & (ny_ < dims[1]) & (nz_ < dims[2])
+            )
+            nid = tree.find_node(nx_, ny_, nz_)
+            nid_c = jnp.clip(nid, 0, n_nodes - 1)
+            ok = fan_possible & inb_f & (nid >= 0) & tree.is_leaf[nid_c]
+            need_vertex = need_vertex.at[nid_c].set(
+                need_vertex[nid_c] | ok, mode="drop"
+            )
+
+    # ---- pass 1: dual vertices for all needed leaves, per level ------------------
+    vertex = _node_centers(tree, grid)  # default: own-size cell center
+    need_np = _np.asarray(need_vertex)
+    for k in levels_present:
+        ids = _np.nonzero(leaf & (level == k) & need_np)[0]
+        if len(ids) == 0:
+            continue
+        ids_j = jnp.asarray(ids, jnp.int32)
+        s = 1 << k
+        stride = (
+            dc_cfg.stride_large_cell if s > dc_cfg.stride_switch_size else 1
+        )
+        pts, nrms, msk = gather_cell_hermite(
+            grid, tree.x[ids_j], tree.y[ids_j], tree.z[ids_j], s, stride
+        )
+        centers = vertex[ids_j]
+        cell_size = jnp.full((len(ids),), s, jnp.float32) * grid.voxel_size
+        dv = generate_dual_vertex(pts, nrms, msk, centers, cell_size, qef_cfg)
+        vertex = vertex.at[ids_j].set(dv)
+
+    # ---- pass 2: triangle emission per level -------------------------------------
+    out_verts = []
+    out_normals = []
+    emitted_any = jnp.zeros((n_nodes,), bool)
+
+    for k in levels_present:
+        if k not in adj_ids_by_level:
+            continue
+        ids_j, surf = surface_by_level[k]
+        solid_self = tree.is_solid[ids_j]
+        v_self = vertex[ids_j]
+        leaf_emitted = jnp.zeros(ids_j.shape, bool)
+
+        for d, (crossing, adj_info) in enumerate(adj_ids_by_level[k]):
+            nid1, ok1 = adj_info[0]
+            nid2, ok2 = adj_info[1]
+            nid3, ok3 = adj_info[2]
+            v1 = vertex[jnp.clip(nid1, 0, n_nodes - 1)]
+            v2 = vertex[jnp.clip(nid2, 0, n_nodes - 1)]
+            v3 = vertex[jnp.clip(nid3, 0, n_nodes - 1)]
+
+            cnt = 1 + ok1.astype(jnp.int32) + ok2.astype(jnp.int32) + ok3.astype(jnp.int32)
+            # ordered compaction of [self, v1, v2, v3]
+            second = jnp.where(ok1[:, None], v1, v2)
+            third = jnp.where(
+                ok1[:, None], jnp.where(ok2[:, None], v2, v3), v3
+            )
+            fourth = v3
+
+            def tri(a, b, c, valid):
+                e1 = b - a
+                e2 = c - a
+                cr = jnp.cross(e1, e2)
+                area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+                n = cr / jnp.maximum(
+                    jnp.linalg.norm(cr, axis=-1, keepdims=True), 1e-30
+                )
+                n = jnp.where(solid_self[:, None], -n, n)
+                keep = valid & (area > dc_cfg.degenerate_area_eps)
+                return jnp.stack([a, b, c], axis=-2), n, keep
+
+            t1v, t1n, t1k = tri(v_self, second, third, crossing & (cnt >= 3))
+            t2v, t2n, t2k = tri(v_self, third, fourth, crossing & (cnt == 4))
+
+            out_verts.append(jnp.concatenate([t1v, t2v], 0))
+            out_normals.append(jnp.concatenate([t1n, t2n], 0))
+            keep = jnp.concatenate([t1k, t2k], 0)
+            out_verts[-1] = jnp.where(keep[:, None, None], out_verts[-1], 0.0)
+            out_normals[-1] = jnp.where(keep[:, None], out_normals[-1], 0.0)
+            out_verts[-1] = (out_verts[-1], keep)  # (data, mask) pair
+            out_normals[-1] = out_normals[-1]
+            leaf_emitted = leaf_emitted | t1k | t2k[: t1k.shape[0]]
+
+        emitted_any = emitted_any.at[ids_j].set(leaf_emitted, mode="drop")
+
+    # ---- pass 3: boundary face fans (createFaceTriangles fallback) ---------------
+    if with_boundary_fans:
+        fan_v, fan_n, fan_k = _boundary_face_fans(
+            grid, tree, vertex, surface_by_level, emitted_any, dc_cfg
+        )
+        if fan_v is not None:
+            out_verts.append((fan_v, fan_k))
+            out_normals.append(fan_n)
+
+    # ---- gather to host, filter, concatenate ------------------------------------
+    all_v = []
+    all_n = []
+    for (v, keep), n in zip(out_verts, out_normals):
+        keep_np = _np.asarray(keep)
+        all_v.append(_np.asarray(v)[keep_np])
+        all_n.append(_np.asarray(n)[keep_np])
+    if all_v:
+        verts = _np.concatenate(all_v, 0)
+        normals = _np.concatenate(all_n, 0)
+    else:
+        verts = _np.zeros((0, 3, 3), _np.float32)
+        normals = _np.zeros((0, 3), _np.float32)
+    return jnp.asarray(verts), jnp.asarray(normals), verts.shape[0]
+
+
+def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any, dc_cfg):
+    """createFaceTriangles (AdaptiveDualContouringRenderer.cpp:805-1088) for
+    surface leaves that emitted nothing and touch the grid boundary."""
+    import numpy as _np
+
+    dx, dy, dz = grid.dims_xyz
+    n_nodes = tree.num_nodes
+    divisions = dc_cfg.face_fan_divisions
+
+    fan_verts = []
+    fan_normals = []
+    fan_keep = []
+
+    face_dirs = _np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        _np.int32,
+    )
+    tangents = {
+        0: (_np.array([0, 1, 0], _np.float32), _np.array([0, 0, 1], _np.float32)),
+        1: (_np.array([1, 0, 0], _np.float32), _np.array([0, 0, 1], _np.float32)),
+        2: (_np.array([1, 0, 0], _np.float32), _np.array([0, 1, 0], _np.float32)),
+    }
+
+    for k, (ids_j, surf) in surface_by_level.items():
+        s = 1 << k
+        cx, cy, cz = tree.x[ids_j], tree.y[ids_j], tree.z[ids_j]
+        at_boundary = (
+            (cx == 0) | (cy == 0) | (cz == 0)
+            | (cx + s >= dx) | (cy + s >= dy) | (cz + s >= dz)
+        )
+        eligible = surf & (~emitted_any[ids_j]) & at_boundary
+        v_self = vertex[ids_j]
+        solid_self = tree.is_solid[ids_j]
+
+        for f in range(6):
+            fd = face_dirs[f]
+            axis = f // 2
+            nx = cx + int(fd[0]) * s
+            ny = cy + int(fd[1]) * s
+            nz = cz + int(fd[2]) * s
+            inb = (
+                (nx >= 0) & (ny >= 0) & (nz >= 0)
+                & (nx < dx) & (ny < dy) & (nz < dz)
+            )
+            nid = tree.find_node(nx, ny, nz)
+            nid_c = jnp.clip(nid, 0, n_nodes - 1)
+            found_leaf = (nid >= 0) & tree.is_leaf[nid_c]
+            ratio_bad = found_leaf & (
+                jnp.maximum(s, tree.size[nid_c])
+                > jnp.minimum(s, tree.size[nid_c]) * dc_cfg.max_size_ratio
+            )
+            # grid-sample fallback at neighbor center (clamped)
+            sx = jnp.clip(nx + s // 2, 0, dx - 1)
+            sy = jnp.clip(ny + s // 2, 0, dy - 1)
+            sz = jnp.clip(nz + s // 2, 0, dz - 1)
+            sample_solid = grid.sample_safe(sx, sy, sz) > 0
+            neighbor_solid = jnp.where(
+                found_leaf, tree.is_solid[nid_c], sample_solid
+            )
+            active = (
+                eligible & inb & (~ratio_bad)
+                & (neighbor_solid != solid_self)
+            )
+
+            # neighbor vertex: leaf's own vertex, else its center at self size
+            nb_center = grid.grid_to_world(nx, ny, nz) + (
+                0.5 * s * grid.voxel_size
+            )
+            v_nb = jnp.where(found_leaf[:, None], vertex[nid_c], nb_center)
+
+            half = 0.5 * s * grid.voxel_size
+            t1v, t2v = tangents[axis]
+            t1v = jnp.asarray(t1v)
+            t2v = jnp.asarray(t2v)
+            f_normal = jnp.asarray(fd, jnp.float32)
+            out_normal = jnp.where(
+                solid_self[:, None], f_normal[None, :], -f_normal[None, :]
+            )
+            face_center = 0.5 * (v_self + v_nb)
+
+            # (divisions+1)^2 bulged grid points
+            pts = {}
+            for i in range(divisions + 1):
+                for j in range(divisions + 1):
+                    u = 2.0 * (i / divisions) - 1.0
+                    v = 2.0 * (j / divisions) - 1.0
+                    bulge = 0.05 * half * (1.0 - (u * u + v * v))
+                    pts[(i, j)] = (
+                        face_center
+                        + t1v[None, :] * (u * half)
+                        + t2v[None, :] * (v * half)
+                        + f_normal[None, :] * bulge
+                    )
+
+            def emit(a, b, c, nrm):
+                fan_verts.append(jnp.stack([a, b, c], axis=1))
+                fan_normals.append(nrm)
+                fan_keep.append(active)
+
+            for i in range(divisions):
+                for j in range(divisions):
+                    p00 = pts[(i, j)]
+                    p10 = pts[(i + 1, j)]
+                    p01 = pts[(i, j + 1)]
+                    p11 = pts[(i + 1, j + 1)]
+                    # cell-vertex fan (tri1..tri4, :992-1032)
+                    emit(v_self, p00, p10, out_normal)
+                    emit(v_self, p10, p11, out_normal)
+                    emit(v_self, p11, p01, out_normal)
+                    emit(v_self, p01, p00, out_normal)
+                    # neighbor fan, reversed winding, negated normal (:1036-1083)
+                    emit(v_nb, p10, p00, -out_normal)
+                    emit(v_nb, p11, p10, -out_normal)
+                    emit(v_nb, p01, p11, -out_normal)
+                    emit(v_nb, p00, p01, -out_normal)
+
+    if not fan_verts:
+        return None, None, None
+    v = jnp.concatenate(fan_verts, 0)
+    n = jnp.concatenate(fan_normals, 0)
+    keep = jnp.concatenate(fan_keep, 0)
+    return v, n, keep
