@@ -79,7 +79,7 @@ def main() -> None:
     img = frame()
     jax.block_until_ready(img)
 
-    n_iters = 10
+    n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
         img = frame()

@@ -75,28 +75,33 @@ class OccupancyPyramid:
     which are trivially uniform).
     """
 
-    any_levels: List[jax.Array]  # bool, finest (k=0) first
-    all_levels: List[jax.Array]
+    code_levels: List[jax.Array]  # uint8, finest (k=0) first: 0/1/2
+
+    @property
+    def any_levels(self) -> List[jax.Array]:
+        return [c > 0 for c in self.code_levels]
+
+    @property
+    def all_levels(self) -> List[jax.Array]:
+        return [c == 2 for c in self.code_levels]
 
     @property
     def num_levels(self) -> int:
-        return len(self.any_levels)
+        return len(self.code_levels)
 
     @property
     def root_size(self) -> int:
         return 1 << (self.num_levels - 1)
 
     def level_dims_zyx(self, k: int) -> Tuple[int, int, int]:
-        return self.any_levels[k].shape
+        return self.code_levels[k].shape
 
-    def cell_state(self, k: int, cx, cy, cz):
-        """(any, all) for level-k cell (cx, cy, cz); out-of-array -> (F, F).
-
-        Vectorized over index shapes; used by the stackless tracer's descent.
-        """
-        arr_any = self.any_levels[k]
-        arr_all = self.all_levels[k]
-        dz, dy, dx = arr_any.shape
+    def cell_code(self, k: int, cx, cy, cz):
+        """2-bit cell code at level k: 0 uniform-empty, 1 mixed, 2
+        uniform-solid; out-of-array cells are uniform-empty. ONE gather per
+        level — the tracer's hot lookup."""
+        arr = self.code_levels[k]
+        dz, dy, dx = arr.shape
         inb = (
             (cx >= 0) & (cy >= 0) & (cz >= 0)
             & (cx < dx) & (cy < dy) & (cz < dz)
@@ -104,10 +109,12 @@ class OccupancyPyramid:
         xc = jnp.clip(cx, 0, dx - 1)
         yc = jnp.clip(cy, 0, dy - 1)
         zc = jnp.clip(cz, 0, dz - 1)
-        return (
-            jnp.where(inb, arr_any[zc, yc, xc], False),
-            jnp.where(inb, arr_all[zc, yc, xc], False),
-        )
+        return jnp.where(inb, arr[zc, yc, xc], jnp.uint8(0))
+
+    def cell_state(self, k: int, cx, cy, cz):
+        """(any, all) for level-k cell (cx, cy, cz); out-of-array -> (F, F)."""
+        code = self.cell_code(k, cx, cy, cz)
+        return code > 0, code == 2
 
 
 def _reduce_level(prev_any: jax.Array, prev_all: jax.Array):
@@ -136,7 +143,11 @@ def build_pyramid(occ: jax.Array) -> OccupancyPyramid:
         a, b = _reduce_level(any_levels[-1], all_levels[-1])
         any_levels.append(a)
         all_levels.append(b)
-    return OccupancyPyramid(any_levels=any_levels, all_levels=all_levels)
+    codes = [
+        a.astype(jnp.uint8) + b.astype(jnp.uint8)
+        for a, b in zip(any_levels, all_levels)
+    ]
+    return OccupancyPyramid(code_levels=codes)
 
 
 @jax.tree_util.register_dataclass

@@ -1,0 +1,208 @@
+"""Triangle-mesh voxelization into the binary grid.
+
+Port of ``loadCSVDataIntoVoxelGrid`` (BuildingLoader.cpp:152-290):
+
+  * padded float64 AABB of all vertices (padding = one voxel),
+  * grid dims = ceil(extent / voxelSize), auto-coarsened so no axis
+    exceeds 1000 (the reference multiplies voxelSize by the integer ratio
+    max(dim // 1000) — note the C++ computes that scale in size_t math),
+  * for every face, the voxel-AABB of the triangle (clamped, with the
+    reference's off-by-design "+1" on the high side) is scanned and voxel
+    CENTERS passing the projected barycentric point-in-triangle test
+    (isPointInTriangle, BuildingLoader.cpp:131-149) are marked FILLED.
+
+Two implementations:
+  * ``voxelize_triangles`` — host NumPy, per-face vectorized over the
+    face's voxel AABB (the default; mirrors the OpenMP loop, and is what
+    the native C++ module accelerates),
+  * ``voxelize_triangles_dense`` — the TPU-style formulation from the
+    north star: chunks of faces tested against the whole grid at once with
+    vectorized point-in-triangle and a scatter-or (good for small grids
+    and as the jit reference).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ray_tracing_octrees_tpu.config import IngestConfig
+from ray_tracing_octrees_tpu.core.grid import VoxelGrid
+
+_CFG = IngestConfig()
+
+
+def point_in_triangle(p, a, b, c):
+    """Projected barycentric containment (isPointInTriangle,
+    BuildingLoader.cpp:131-149). Works on [..., 3] arrays; the 3D dot
+    products implicitly project p onto the triangle plane."""
+    v0 = c - a
+    v1 = b - a
+    v2 = p - a
+    dot00 = (v0 * v0).sum(-1)
+    dot01 = (v0 * v1).sum(-1)
+    dot02 = (v0 * v2).sum(-1)
+    dot11 = (v1 * v1).sum(-1)
+    dot12 = (v1 * v2).sum(-1)
+    denom = dot00 * dot11 - dot01 * dot01
+    ok = jnp.abs(denom) >= 1e-7 if isinstance(denom, jax.Array) else np.abs(denom) >= 1e-7
+    inv = 1.0 / (denom + (1.0 - ok) * 1.0)  # guard /0; masked below
+    u = (dot11 * dot02 - dot01 * dot12) * inv
+    v = (dot00 * dot12 - dot01 * dot02) * inv
+    return ok & (u >= 0) & (v >= 0) & (u + v <= 1)
+
+
+def grid_geometry(tri_verts: np.ndarray, voxel_size: float,
+                  max_axis: int = _CFG.max_grid_axis):
+    """Bounds, auto-coarsened voxel size, and dims (BuildingLoader.cpp:166-211)."""
+    pts = tri_verts.reshape(-1, 3).astype(np.float64)
+    finite = np.isfinite(pts).all(axis=1)
+    pts = pts[finite]
+    lo = pts.min(axis=0) - voxel_size
+    hi = pts.max(axis=0) + voxel_size
+    dims = np.ceil((hi - lo) / voxel_size).astype(np.int64)
+    if (dims > max_axis).any():
+        # the reference computes the scale with integer division (size_t)
+        scale = max(int(d) // max_axis for d in dims)
+        voxel_size = voxel_size * scale
+        dims = np.ceil((hi - lo) / voxel_size).astype(np.int64)
+    return lo, hi, float(voxel_size), tuple(int(d) for d in dims)
+
+
+def voxelize_triangles(
+    tri_verts: np.ndarray,  # float64[K, 3, 3] (x=easting, y=northing, z=elev)
+    voxel_size: float,
+    max_axis: int = _CFG.max_grid_axis,
+) -> VoxelGrid:
+    """Host voxelizer, exact port of the OpenMP face loop."""
+    lo, hi, vs, (dx, dy, dz) = grid_geometry(tri_verts, voxel_size, max_axis)
+    occ = np.zeros((dz, dy, dx), np.uint8)
+    tv = tri_verts.astype(np.float32)
+    lo32 = lo.astype(np.float32)
+    vs32 = np.float32(vs)
+
+    for k in range(tv.shape[0]):
+        a, b, c = tv[k]
+        tmin = np.minimum(np.minimum(a, b), c)
+        tmax = np.maximum(np.maximum(a, b), c)
+        s = np.maximum(0, ((tmin - lo32) / vs32).astype(np.int32))
+        e = np.minimum(
+            np.array([dx - 1, dy - 1, dz - 1]),
+            ((tmax - lo32) / vs32).astype(np.int32) + 1,
+        )
+        if (e < s).any():
+            continue
+        xs = lo32[0] + (np.arange(s[0], e[0] + 1, dtype=np.float32) + 0.5) * vs32
+        ys = lo32[1] + (np.arange(s[1], e[1] + 1, dtype=np.float32) + 0.5) * vs32
+        zs = lo32[2] + (np.arange(s[2], e[2] + 1, dtype=np.float32) + 0.5) * vs32
+        zz, yy, xx = np.meshgrid(zs, ys, xs, indexing="ij")
+        centers = np.stack([xx, yy, zz], axis=-1)
+        inside = point_in_triangle(centers, a, b, c)
+        if inside.any():
+            sub = occ[s[2] : e[2] + 1, s[1] : e[1] + 1, s[0] : e[0] + 1]
+            sub[inside] = 1
+    return VoxelGrid.create(
+        jnp.asarray(occ), origin=(lo[0], lo[1], lo[2]), voxel_size=vs
+    )
+
+
+def voxelize_triangles_dense(
+    tri_verts,  # f32[K, 3, 3]
+    voxel_size: float,
+    max_axis: int = _CFG.max_grid_axis,
+    face_chunk: int = 256,
+) -> VoxelGrid:
+    """TPU-style voxelizer: whole-grid point-in-triangle per face chunk.
+
+    Semantics match ``voxelize_triangles`` including the per-face voxel-AABB
+    restriction (a center inside the triangle but outside the face's box is
+    NOT marked, mirroring the reference loop bounds).
+    """
+    tri_np = np.asarray(tri_verts, np.float64)
+    lo, hi, vs, (dx, dy, dz) = grid_geometry(tri_np, voxel_size, max_axis)
+    lo32 = jnp.asarray(lo, jnp.float32)
+    vs32 = jnp.float32(vs)
+
+    xs = lo32[0] + (jnp.arange(dx, dtype=jnp.float32) + 0.5) * vs32
+    ys = lo32[1] + (jnp.arange(dy, dtype=jnp.float32) + 0.5) * vs32
+    zs = lo32[2] + (jnp.arange(dz, dtype=jnp.float32) + 0.5) * vs32
+    zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    centers = jnp.stack([xx, yy, zz], -1)  # [Z, Y, X, 3]
+    vox_idx = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(dz), jnp.arange(dy), jnp.arange(dx), indexing="ij"
+        ),
+        -1,
+    )  # (z, y, x)
+
+    tv = jnp.asarray(tri_np, jnp.float32)
+
+    @jax.jit
+    def chunk_fill(occ, chunk):  # chunk [C, 3, 3]
+        a, b, c = chunk[:, 0], chunk[:, 1], chunk[:, 2]
+        tmin = jnp.minimum(jnp.minimum(a, b), c)
+        tmax = jnp.maximum(jnp.maximum(a, b), c)
+        s = jnp.maximum(0, ((tmin - lo32) / vs32).astype(jnp.int32))
+        e = jnp.minimum(
+            jnp.array([dx - 1, dy - 1, dz - 1]),
+            ((tmax - lo32) / vs32).astype(jnp.int32) + 1,
+        )
+
+        def one(acc, i):
+            inside = point_in_triangle(centers, a[i], b[i], c[i])
+            in_box = (
+                (vox_idx[..., 2] >= s[i, 0]) & (vox_idx[..., 2] <= e[i, 0])
+                & (vox_idx[..., 1] >= s[i, 1]) & (vox_idx[..., 1] <= e[i, 1])
+                & (vox_idx[..., 0] >= s[i, 2]) & (vox_idx[..., 0] <= e[i, 2])
+            )
+            valid = (e[i] >= s[i]).all()
+            return acc | (inside & in_box & valid), None
+
+        acc, _ = jax.lax.scan(one, occ, jnp.arange(chunk.shape[0]))
+        return acc
+
+    occ = jnp.zeros((dz, dy, dx), bool)
+    k = tv.shape[0]
+    pad = (-k) % face_chunk
+    tv_p = jnp.pad(tv, ((0, pad), (0, 0), (0, 0)))  # degenerate pads mark nothing
+    for i in range(0, tv_p.shape[0], face_chunk):
+        occ = chunk_fill(occ, tv_p[i : i + face_chunk])
+    return VoxelGrid.create(
+        occ.astype(jnp.uint8), origin=(lo[0], lo[1], lo[2]), voxel_size=vs
+    )
+
+
+def load_csv_into_voxel_grid(
+    verts_path, faces_path, voxel_size: float = 5.0, use_native: bool = True
+) -> Optional[VoxelGrid]:
+    """End-to-end CSV -> VoxelGrid (loadCSVDataIntoVoxelGrid).
+
+    Prefers the native C++/OpenMP voxelizer when available; falls back to
+    the NumPy port.
+    """
+    from ray_tracing_octrees_tpu.ingest.csv_loader import (
+        load_csv_vertices,
+        load_csv_faces,
+        assemble_triangles,
+    )
+
+    verts = load_csv_vertices(verts_path)
+    faces = load_csv_faces(faces_path)
+    if verts.size == 0 or faces.size == 0:
+        return None
+    tris, _ = assemble_triangles(verts, faces)
+    if tris.size == 0:
+        return None
+    if use_native:
+        try:
+            from ray_tracing_octrees_tpu.native import runtime as native_rt
+
+            if native_rt.available():
+                return native_rt.voxelize_triangles(tris, voxel_size)
+        except Exception:
+            pass
+    return voxelize_triangles(tris, voxel_size)

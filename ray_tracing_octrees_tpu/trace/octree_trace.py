@@ -133,8 +133,9 @@ def trace_octree(
             cx = v[:, 0] >> k
             cy = v[:, 1] >> k
             cz = v[:, 2] >> k
-            c_any, c_all = pyramid.cell_state(k, cx, cy, cz)
-            uniform = c_all | (~c_any)
+            code = pyramid.cell_code(k, cx, cy, cz)
+            uniform = code != 1
+            c_all = code == 2
             take = uniform & (~found)
             leaf_level = jnp.where(take, k, leaf_level)
             solid = jnp.where(take, c_all, solid)
@@ -202,7 +203,7 @@ def cull_pyramid(
     finest level and re-reduced, keeping any/all levels consistent.
     """
     planes = frustum_planes(view_proj)
-    occ = pyramid.any_levels[0]
+    occ = pyramid.code_levels[0] > 0
     dz, dy, dx = occ.shape
     origin = jnp.asarray(grid_origin, jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
