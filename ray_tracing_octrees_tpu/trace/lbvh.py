@@ -1,0 +1,300 @@
+"""LBVH construction and wavefront ray-triangle tracing.
+
+Implements, for real, what the reference's dead code promised: ``BVH.cpp``
+(a median-split triangle BVH that is never instantiated, BVH.h:1-64) and the
+"BVHRayTrace" name of RayTracerBVH. Design follows the BASELINE.json north
+star: Morton-code sort + Karras-style parallel linking (LBVH) built entirely
+from array ops, and a stackless escape-link ("threaded") traversal with
+slab AABB tests and Moller-Trumbore intersection, vectorized over a ray
+wavefront.
+
+Build (all jittable, O(N log N)):
+  1. quantize triangle centroids to a 30-bit Morton lattice over the scene
+     AABB and sort;
+  2. Karras 2012 internal-node ranges/splits from common-prefix lengths
+     (ties broken by index), giving left/right/parent pointers;
+  3. bottom-up AABB refit by fixed-point parent sweeps;
+  4. escape links by top-down propagation (escape(left) = right,
+     escape(right) = escape(parent)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tracing_octrees_tpu.core.morton import morton_encode_10, quantize_to_morton_grid
+
+_BIG = jnp.float32(1e30)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LBVH:
+    """Flat LBVH arrays. N leaves (sorted triangles), N-1 internal nodes.
+
+    Node ids: internal nodes are [0, N-2] (root = 0), leaves are
+    [N-1, 2N-2] (leaf i holds sorted triangle i - (N-1)).
+    """
+
+    tri_verts: jax.Array     # f32[N, 3, 3] in sorted leaf order
+    tri_index: jax.Array     # int32[N] original triangle ids
+    left: jax.Array          # int32[2N-1]; -1 for leaves
+    right: jax.Array         # int32[2N-1]
+    parent: jax.Array        # int32[2N-1]; -1 at root
+    escape: jax.Array        # int32[2N-1]; next node when skipping; -1 ends
+    aabb_min: jax.Array      # f32[2N-1, 3]
+    aabb_max: jax.Array      # f32[2N-1, 3]
+
+    @property
+    def num_tris(self) -> int:
+        return self.tri_verts.shape[0]
+
+
+def _clz32(x):
+    """Count leading zeros of uint32 (vectorized)."""
+    x = jnp.asarray(x, jnp.uint32)
+    n = jnp.full(x.shape, 32, jnp.int32)
+    shift = jnp.int32(16)
+    cur = x
+    for s in (16, 8, 4, 2, 1):
+        has = (cur >> np.uint32(s)) != 0
+        n = jnp.where(has, n - s, n)
+        cur = jnp.where(has, cur >> np.uint32(s), cur)
+    return n - (cur != 0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def build_lbvh(tri_verts: jax.Array) -> LBVH:
+    """LBVH over a triangle soup f32[N, 3, 3] (N >= 2)."""
+    n = tri_verts.shape[0]
+    centroids = tri_verts.mean(axis=1)
+    lo = tri_verts.reshape(-1, 3).min(0)
+    hi = tri_verts.reshape(-1, 3).max(0)
+    qx, qy, qz = quantize_to_morton_grid(centroids, lo, hi, bits=10)
+    codes = morton_encode_10(qx, qy, qz)
+    order = jnp.argsort(codes)
+    codes = codes[order].astype(jnp.uint32)
+    tri_sorted = tri_verts[order]
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def delta(i, j):
+        """Common-prefix length; -1 out of range; index tiebreak (Karras)."""
+        ok = (j >= 0) & (j < n)
+        jc = jnp.clip(j, 0, n - 1)
+        x = codes[i] ^ codes[jc]
+        d = _clz32(x)
+        tie = _clz32(jnp.asarray(i, jnp.uint32) ^ jnp.asarray(jc, jnp.uint32)) + 32
+        d = jnp.where(x == 0, tie, d)
+        return jnp.where(ok, d, -1)
+
+    # --- Karras internal nodes (vectorized over i in [0, n-2]) ------------------
+    i = jnp.arange(n - 1, dtype=jnp.int32)
+    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
+    d = jnp.where(d == 0, 1, d)
+    delta_min = delta(i, i - d)
+
+    # loop trip counts bounded by log2(n) (keeps the compiled graph small —
+    # fully unrolling 32 rounds of gather-laden searches stalls XLA:CPU)
+    n_rounds = max(2, int(np.ceil(np.log2(n))) + 2)
+
+    # exponential upper bound for the range length
+    def dbl(_, l_max):
+        return jnp.where(delta(i, i + l_max * d) > delta_min, l_max * 2, l_max)
+
+    l_max = jax.lax.fori_loop(0, n_rounds, dbl, jnp.full(n - 1, 2, jnp.int32))
+
+    # binary search the exact length
+    def bs(_, carry):
+        l, t = carry
+        go = (t >= 1) & (delta(i, i + (l + t) * d) > delta_min)
+        return jnp.where(go, l + t, l), t // 2
+
+    l, _ = jax.lax.fori_loop(
+        0, n_rounds + 1, bs, (jnp.zeros(n - 1, jnp.int32), l_max // 2)
+    )
+    j = i + l * d
+
+    # split position: highest differing bit within [i, j]
+    delta_node = delta(i, j)
+
+    def ss(_, carry):
+        s, t = carry
+        go = (t >= 1) & (delta(i, i + (s + t) * d) > delta_node)
+        s = jnp.where(go, s + t, s)
+        t = jnp.where(t > 1, (t + 1) // 2, 0)
+        return s, t
+
+    s, _ = jax.lax.fori_loop(
+        0, n_rounds + 1, ss, (jnp.zeros(n - 1, jnp.int32), (l + 1) // 2)
+    )
+    gamma = i + s * d + jnp.minimum(d, 0)
+
+    leaf_base = n - 1
+    left_is_leaf = jnp.minimum(i, j) == gamma
+    right_is_leaf = jnp.maximum(i, j) == gamma + 1
+    left = jnp.where(left_is_leaf, leaf_base + gamma, gamma)
+    right = jnp.where(right_is_leaf, leaf_base + gamma + 1, gamma + 1)
+
+    total = 2 * n - 1
+    left_full = jnp.full(total, -1, jnp.int32).at[:n - 1].set(left)
+    right_full = jnp.full(total, -1, jnp.int32).at[:n - 1].set(right)
+    parent = jnp.full(total, -1, jnp.int32)
+    parent = parent.at[left].set(jnp.arange(n - 1, dtype=jnp.int32))
+    parent = parent.at[right].set(jnp.arange(n - 1, dtype=jnp.int32))
+
+    # --- AABBs: leaves then fixed-point refit ------------------------------------
+    leaf_min = tri_sorted.min(axis=1)
+    leaf_max = tri_sorted.max(axis=1)
+    amin = jnp.full((total, 3), _BIG).at[leaf_base:].set(leaf_min)
+    amax = jnp.full((total, 3), -_BIG).at[leaf_base:].set(leaf_max)
+
+    def refit(carry, _):
+        amin, amax = carry
+        lmin = amin[left_full[: n - 1]]
+        rmin = amin[right_full[: n - 1]]
+        lmax = amax[left_full[: n - 1]]
+        rmax = amax[right_full[: n - 1]]
+        amin = amin.at[: n - 1].set(jnp.minimum(lmin, rmin))
+        amax = amax.at[: n - 1].set(jnp.maximum(lmax, rmax))
+        return (amin, amax), None
+
+    depth = max(2, int(np.ceil(np.log2(max(n, 2)))) * 2 + 8)
+    (amin, amax), _ = jax.lax.scan(refit, (amin, amax), None, length=depth)
+
+    # --- escape links: escape(left)=right, escape(right)=escape(parent) ---------
+    escape = jnp.full(total, -1, jnp.int32)
+    escape = escape.at[left].set(right)
+
+    def esc_sweep(e, _):
+        # right children inherit parent's escape
+        par = parent
+        is_right = (par >= 0) & (
+            right_full[jnp.clip(par, 0, total - 1)] == jnp.arange(total)
+        )
+        inherited = e[jnp.clip(par, 0, total - 1)]
+        e = jnp.where(is_right, inherited, e)
+        return e, None
+
+    escape, _ = jax.lax.scan(esc_sweep, escape, None, length=depth)
+
+    return LBVH(
+        tri_verts=tri_sorted,
+        tri_index=order.astype(jnp.int32),
+        left=left_full,
+        right=right_full,
+        parent=parent,
+        escape=escape,
+        aabb_min=amin,
+        aabb_max=amax,
+    )
+
+
+def moller_trumbore(ro, rd, v0, v1, v2, eps=1e-7):
+    """Ray-triangle intersection; returns (hit, t, u, v). Vectorized."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    pvec = jnp.cross(rd, e2)
+    det = (e1 * pvec).sum(-1)
+    ok = jnp.abs(det) > eps
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = ro - v0
+    u = (tvec * pvec).sum(-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = (rd * qvec).sum(-1) * inv_det
+    t = (e2 * qvec).sum(-1) * inv_det
+    hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > eps)
+    return hit, t, u, v
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def trace_lbvh(
+    bvh: LBVH,
+    origins: jax.Array,     # f32[R, 3]
+    directions: jax.Array,  # f32[R, 3]
+    max_steps: int = 2048,
+) -> dict:
+    """Nearest-hit wavefront trace via stackless escape-link traversal.
+
+    Returns dict(hit, t, tri (original index, -1 on miss), point, normal
+    (geometric, normalize(cross(e1, e2)))).
+    """
+    n = bvh.num_tris
+    leaf_base = n - 1
+    r = origins.shape[0]
+    f32 = jnp.float32
+
+    eps = jnp.float32(1e-12)
+    inv_d = 1.0 / jnp.where(jnp.abs(directions) < eps,
+                            jnp.where(directions < 0, -eps, eps), directions)
+
+    def slab(node, best_t):
+        bmin = bvh.aabb_min[node]
+        bmax = bvh.aabb_max[node]
+        t1 = (bmin - origins) * inv_d
+        t2 = (bmax - origins) * inv_d
+        tn = jnp.minimum(t1, t2).max(-1)
+        tf = jnp.maximum(t1, t2).min(-1)
+        return (tn <= tf) & (tf > 0) & (tn < best_t)
+
+    state = dict(
+        node=jnp.zeros(r, jnp.int32),
+        t=jnp.full(r, _BIG),
+        tri=jnp.full(r, -1, jnp.int32),
+        alive=jnp.ones(r, bool) & (n > 0),
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return (s["steps"] < max_steps) & jnp.any(s["alive"] & (s["node"] >= 0))
+
+    def body(s):
+        node = s["node"]
+        alive = s["alive"] & (node >= 0)
+        node_c = jnp.clip(node, 0, 2 * n - 2)
+
+        box_hit = slab(node_c, s["t"]) & alive
+        is_leaf = node_c >= leaf_base
+
+        # leaf: test the triangle
+        tri_id = jnp.clip(node_c - leaf_base, 0, n - 1)
+        tv = bvh.tri_verts[tri_id]
+        hit, t, _, _ = moller_trumbore(origins, directions, tv[:, 0], tv[:, 1], tv[:, 2])
+        better = box_hit & is_leaf & hit & (t < s["t"])
+        new_t = jnp.where(better, t, s["t"])
+        new_tri = jnp.where(better, bvh.tri_index[tri_id], s["tri"])
+
+        # next node: descend into hit internal nodes, else follow escape
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, bvh.left[node_c], bvh.escape[node_c])
+        nxt = jnp.where(alive, nxt, node)
+        return dict(
+            node=nxt,
+            t=new_t,
+            tri=new_tri,
+            alive=s["alive"],
+            steps=s["steps"] + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    hit = s["tri"] >= 0
+    t = jnp.where(hit, s["t"], 0.0)
+    point = origins + directions * t[..., None]
+
+    # geometric normal of the hit triangle (sorted-order lookup)
+    # invert: sorted position of original index
+    inv_order = jnp.zeros(max(n, 1), jnp.int32).at[bvh.tri_index].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    sid = inv_order[jnp.clip(s["tri"], 0, n - 1)]
+    tv = bvh.tri_verts[sid]
+    nrm = jnp.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-30)
+    nrm = jnp.where(hit[:, None], nrm, 0.0)
+    return dict(hit=hit, t=t, tri=s["tri"], point=point, normal=nrm)
