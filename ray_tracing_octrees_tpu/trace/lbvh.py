@@ -230,17 +230,19 @@ def trace_lbvh(
     r = origins.shape[0]
     f32 = jnp.float32
 
-    eps = jnp.float32(1e-12)
-    inv_d = 1.0 / jnp.where(jnp.abs(directions) < eps,
-                            jnp.where(directions < 0, -eps, eps), directions)
+    from ray_tracing_octrees_tpu.trace.octree_trace import (
+        _safe_inv,
+        _degenerate_axes,
+        _slab,
+    )
+
+    inv_d = _safe_inv(directions)
+    deg = _degenerate_axes(directions)
 
     def slab(node, best_t):
         bmin = bvh.aabb_min[node]
         bmax = bvh.aabb_max[node]
-        t1 = (bmin - origins) * inv_d
-        t2 = (bmax - origins) * inv_d
-        tn = jnp.minimum(t1, t2).max(-1)
-        tf = jnp.maximum(t1, t2).min(-1)
+        tn, tf = _slab(origins, inv_d, deg, bmin, bmax)
         return (tn <= tf) & (tf > 0) & (tn < best_t)
 
     state = dict(
