@@ -181,3 +181,73 @@ def render_image_sharded(
         shadows,
     )
     return img[:n_rays]
+
+
+def trace_segmented(
+    mesh: Mesh,
+    occ: jax.Array,
+    origins: jax.Array,
+    directions: jax.Array,
+    grid_origin,
+    voxel_size,
+    max_steps: int = 512,
+):
+    """Sequence-parallel tracing: rays split into per-device Z-SEGMENTS.
+
+    The SP analog from SURVEY §2.8: each device holds only its Z-slab of the
+    grid and traces every ray through *its own segment*; first-hit combines
+    across devices with an associative min over entry-t (front-to-back
+    "over" compositing degenerates to nearest-hit for opaque voxels). The
+    grid never leaves its shard — memory per device is 1/tp of the scene —
+    and the only communication is one tiny per-ray min-reduction.
+
+    Returns the trace dict with dp-sharded rays; hit/t/point/normal combined
+    across tp.
+    """
+    dp = mesh.shape["dp"]
+    tp = mesh.shape["tp"]
+    occ = _pad_to_multiple(jnp.asarray(occ), 0, tp)
+    origins = _pad_to_multiple(origins, 0, dp)
+    directions = _pad_to_multiple(directions, 0, dp)
+    g0 = jnp.asarray(grid_origin, jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    slab_z = occ.shape[0] // tp
+    big = jnp.float32(3e38)
+
+    def local(occ_slab, o_loc, d_loc):
+        zi = jax.lax.axis_index("tp")
+        # local slab grid: origin shifted by the slab's Z offset
+        local_origin = g0 + jnp.array([0.0, 0.0, 1.0]) * (
+            zi.astype(jnp.float32) * slab_z * vs
+        )
+        pyr = build_pyramid(occ_slab)
+        res = trace_octree(pyr, o_loc, d_loc, local_origin, vs, max_steps=max_steps)
+        t = jnp.where(res["hit"], res["t"], big)
+        # nearest segment hit wins (associative min over the ring)
+        t_min = jax.lax.pmin(t, "tp")
+        won = res["hit"] & (t == t_min)
+        hit_any = t_min < big
+
+        def pick(x):
+            x = jnp.where(won.reshape((-1,) + (1,) * (x.ndim - 1)), x, 0)
+            return jax.lax.psum(x, "tp")
+
+        return dict(
+            hit=hit_any,
+            t=jnp.where(hit_any, t_min, 0.0),
+            point=pick(res["point"]),
+            normal=pick(res["normal"]),
+            steps=jax.lax.psum(res["steps"], "tp"),
+        )
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("tp", None, None), P("dp", None), P("dp", None)),
+        out_specs=dict(
+            hit=P("dp"), t=P("dp"), point=P("dp", None),
+            normal=P("dp", None), steps=P("dp"),
+        ),
+        check_rep=False,
+    )
+    return jax.jit(f)(occ, origins, directions)

@@ -342,3 +342,67 @@ def shadow_volume(volume, light_dir):
     db = -(l_b / l_s) * step_s
     occl = _shadow_sweep(vol, jnp.float32(da), jnp.float32(db), bool(flip))
     return jnp.transpose(occl, inv)
+
+
+def render_fast_frame(
+    volume,          # f32[Z, Y, X]
+    normal_volume,   # f32[Z, Y, X, 3] (Sobel normals, precomputed per scene)
+    shadow_vol,      # f32[Z, Y, X] from shadow_volume(), or None
+    grid_origin,
+    voxel_size,
+    camera_pos,
+    view,
+    fov_deg: float,
+    aspect: float,
+    width: int,
+    height: int,
+    light_dir=(-1.0, -1.0, -1.0),
+    base_color=(1.0, 0.8, 0.6),
+    ambient=(0.1, 0.1, 0.1),
+    inter_h: int = 1024,
+    inter_w: int = 1024,
+):
+    """Slab-sweep frame with Lambert + shadow shading.
+
+    The fast-path equivalent of render_octree_image (the shade() of
+    RayTracerBVH.cpp:331-336 with shadowing): primary visibility from the
+    MXU sweep, shadow term from the per-frame shadow volume, normals from
+    the precomputed gradient volume (documented divergence from the
+    node-center normal).
+    """
+    hit, t, point, dirs = sweep_first_hit(
+        volume, grid_origin, voxel_size, camera_pos, view,
+        fov_deg, aspect, width, height, inter_h=inter_h, inter_w=inter_w,
+    )
+    return _shade_fast(
+        hit, t, point, dirs, jnp.asarray(normal_volume),
+        None if shadow_vol is None else jnp.asarray(shadow_vol),
+        jnp.asarray(grid_origin, jnp.float32), jnp.asarray(voxel_size, jnp.float32),
+        jnp.asarray(light_dir, jnp.float32), jnp.asarray(base_color, jnp.float32),
+        jnp.asarray(ambient, jnp.float32), width, height,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _shade_fast(
+    hit, t, point, dirs, normal_volume, shadow_vol,
+    grid_origin, voxel_size, light_dir, base_color, ambient,
+    width: int, height: int,
+):
+    dz, dy, dx = normal_volume.shape[:3]
+    # nearest-voxel fetch at the hit point, nudged off the surface
+    p_in = point + dirs * (0.25 * voxel_size)
+    v = ((p_in - grid_origin[None, :]) / voxel_size).astype(jnp.int32)
+    vx = jnp.clip(v[:, 0], 0, dx - 1)
+    vy = jnp.clip(v[:, 1], 0, dy - 1)
+    vz = jnp.clip(v[:, 2], 0, dz - 1)
+    nrm = normal_volume[vz, vy, vx]
+    l = light_dir / jnp.linalg.norm(light_dir)
+    ndotl = jnp.maximum(0.0, -(nrm * l[None, :]).sum(-1))
+    color = base_color[None, :] * ndotl[:, None] + ambient[None, :]
+    if shadow_vol is not None:
+        occl = shadow_vol[vz, vy, vx]
+        color = jnp.where((occl > 0.5)[:, None], ambient[None, :], color)
+    color = jnp.where(hit[:, None], color, 0.0)
+    rgba = jnp.concatenate([color, jnp.ones((color.shape[0], 1), jnp.float32)], -1)
+    return rgba.reshape(height, width, 4)
