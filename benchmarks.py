@@ -1,0 +1,243 @@
+"""The BASELINE.json config ladder — one JSON line per configuration.
+
+  1. sphere 64^3 -> octree -> Marching Cubes mesh + triangle count
+  2. sphere 128^3 volume raycast (DDA march) at 512x512, depth+normal
+  3. Calgary voxelize -> adaptive Dual Contouring with QEF solves
+  4. extracted MC mesh -> LBVH build -> wavefront trace 1080p primary+shadow
+  5. full Calgary scene: octree + frustum-culled 4K fly-through
+
+Usage: python benchmarks.py [config-numbers...]  (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _bench(fn, sync, iters=3):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(sync(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(sync(out))
+    return out, (time.perf_counter() - t0) / iters
+
+
+def _emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def config1():
+    import jax.numpy as jnp
+    from ray_tracing_octrees_tpu.core.grid import make_sphere_grid
+    from ray_tracing_octrees_tpu.core.octree import build_linear_octree
+    from ray_tracing_octrees_tpu.ops.marching_cubes import (
+        marching_cubes_grid, count_mc_triangles,
+    )
+
+    g = make_sphere_grid(64)
+    tree = build_linear_octree(g.occ)
+    total = int(count_mc_triangles(g))
+    out, dt = _bench(
+        lambda: marching_cubes_grid(g, max_triangles=total + 16),
+        lambda o: o[0],
+    )
+    _emit(
+        config="sphere64_mc",
+        triangles=total,
+        octree_nodes=tree.num_nodes,
+        extract_ms=round(dt * 1e3, 3),
+        tris_per_s=round(total / dt, 1),
+    )
+
+
+def config2():
+    import jax.numpy as jnp
+    from ray_tracing_octrees_tpu.core.grid import make_sphere_grid
+    from ray_tracing_octrees_tpu.core.octree import build_pyramid
+    from ray_tracing_octrees_tpu.models.octree_raytracer import render_octree_image
+    from ray_tracing_octrees_tpu.render.camera import Camera, generate_rays
+    from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree
+
+    g = make_sphere_grid(128)
+    pyr = build_pyramid(g.occ)
+    cam = Camera(theta=0.4, phi=0.8, radius=2.0)
+    o, d = generate_rays(
+        512, 512, jnp.asarray(cam.get_pos(), jnp.float32),
+        jnp.asarray(cam.get_view(), jnp.float32), 45.0, 1.0,
+    )
+    out, dt = _bench(
+        lambda: trace_octree(pyr, o, d, g.origin, g.voxel_size),
+        lambda r: r["t"],
+    )
+    hits = int(np.asarray(out["hit"]).sum())
+    _emit(
+        config="sphere128_raycast_512_depth_normal",
+        rays=512 * 512,
+        hits=hits,
+        frame_ms=round(dt * 1e3, 3),
+        mrays_per_s=round(512 * 512 / dt / 1e6, 3),
+    )
+
+
+def config3():
+    from ray_tracing_octrees_tpu.core.cache import load_voxel_grid
+    from ray_tracing_octrees_tpu.core.grid import recenter_filled_voxels
+    from ray_tracing_octrees_tpu.core.octree import build_linear_octree
+    from ray_tracing_octrees_tpu.ops.dual_contouring import adaptive_dual_contouring
+
+    path = "/root/reference/sceneCache.bin"
+    if not os.path.exists(path):
+        _emit(config="calgary_adaptive_dc", skipped="scene cache missing")
+        return
+    g = recenter_filled_voxels(load_voxel_grid(path))
+    tree = build_linear_octree(g.occ)
+    t0 = time.perf_counter()
+    verts, normals, count = adaptive_dual_contouring(g, tree)
+    dt = time.perf_counter() - t0
+    _emit(
+        config="calgary_adaptive_dc_qef",
+        triangles=int(count),
+        octree_nodes=tree.num_nodes,
+        extract_ms=round(dt * 1e3, 1),
+        tris_per_s=round(int(count) / dt, 1),
+    )
+
+
+def config4():
+    import jax.numpy as jnp
+    from ray_tracing_octrees_tpu.core.cache import load_voxel_grid
+    from ray_tracing_octrees_tpu.core.grid import (
+        make_sphere_grid, recenter_filled_voxels, building_center,
+    )
+    from ray_tracing_octrees_tpu.ops.marching_cubes import (
+        marching_cubes_grid, count_mc_triangles,
+    )
+    from ray_tracing_octrees_tpu.trace.lbvh import build_lbvh, trace_lbvh
+    from ray_tracing_octrees_tpu.render.camera import Camera, generate_rays
+
+    path = "/root/reference/sceneCache.bin"
+    if os.path.exists(path):
+        g = recenter_filled_voxels(load_voxel_grid(path))
+        scene = "calgary"
+    else:
+        g = make_sphere_grid(128)
+        scene = "sphere128"
+    total = int(count_mc_triangles(g))
+    verts, _, count = marching_cubes_grid(g, max_triangles=total)
+    tris = jnp.asarray(verts)[: int(count)]
+    t0 = time.perf_counter()
+    bvh = build_lbvh(tris)
+    import jax
+
+    jax.block_until_ready(bvh.aabb_min)
+    build_ms = (time.perf_counter() - t0) * 1e3
+
+    extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
+    cam = Camera(theta=0.9, phi=0.8, radius=0.75 * extent)
+    cam.set_target(np.asarray(building_center(g)))
+    W, H = 1920, 1080
+    o, d = generate_rays(
+        W, H, jnp.asarray(cam.get_pos(), jnp.float32),
+        jnp.asarray(cam.get_view(), jnp.float32), 45.0, W / H,
+    )
+
+    def frame():
+        res = trace_lbvh(bvh, o, d, max_steps=4096)
+        l = jnp.asarray([0.5, 0.9, 0.4])
+        so = res["point"] + res["normal"] * 1e-3
+        sd = jnp.broadcast_to(l / jnp.linalg.norm(l), so.shape)
+        sres = trace_lbvh(bvh, so, sd, max_steps=4096)
+        return res, sres
+
+    out, dt = _bench(frame, lambda r: r[0]["t"], iters=2)
+    _emit(
+        config="mc_mesh_lbvh_trace_1080p",
+        scene=scene,
+        triangles=int(count),
+        lbvh_build_ms=round(build_ms, 1),
+        frame_ms=round(dt * 1e3, 1),
+        mrays_per_s=round(W * H * 2 / dt / 1e6, 3),
+        hit_fraction=round(float(np.asarray(out[0]["hit"]).mean()), 4),
+    )
+
+
+def config5():
+    import jax.numpy as jnp
+    from ray_tracing_octrees_tpu.core.cache import load_voxel_grid
+    from ray_tracing_octrees_tpu.core.grid import (
+        make_sphere_grid, recenter_filled_voxels, building_center,
+    )
+    from ray_tracing_octrees_tpu.ops.precompute import sobel_gradient
+    from ray_tracing_octrees_tpu.trace.slab_sweep import (
+        render_fast_frame, shadow_volume,
+    )
+    from ray_tracing_octrees_tpu.render.camera import Camera
+
+    path = "/root/reference/sceneCache.bin"
+    if os.path.exists(path):
+        g = recenter_filled_voxels(load_voxel_grid(path))
+        scene = "calgary"
+    else:
+        g = make_sphere_grid(128)
+        scene = "sphere128"
+    vol = (jnp.asarray(g.occ) > 0).astype(jnp.float32)
+    grad = sobel_gradient(vol, jnp.zeros_like(vol))
+    gm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
+    normals = jnp.where(gm > 1e-3, grad / jnp.maximum(gm, 1e-30), 0.0)
+    light = (0.5, 0.9, 0.4)
+    sv = shadow_volume(vol, light)
+
+    extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
+    W, H = 3840, 2160  # 4K fly-through
+    n_poses = 4
+    frames = 0
+    t_total = 0.0
+    import jax
+
+    for i in range(n_poses):
+        cam = Camera(theta=0.8 + 0.05 * i, phi=0.5 + 0.4 * i, radius=0.8 * extent)
+        cam.set_target(np.asarray(building_center(g)))
+        f = lambda: render_fast_frame(
+            vol, normals, sv, g.origin, g.voxel_size,
+            cam.get_pos(), cam.get_view(), 45.0, W / H, W, H,
+            light_dir=light,
+        )
+        img = f()
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        img = f()
+        jax.block_until_ready(img)
+        t_total += time.perf_counter() - t0
+        frames += 1
+    dt = t_total / frames
+    _emit(
+        config="calgary_4k_flythrough",
+        scene=scene,
+        resolution=f"{W}x{H}",
+        frame_ms=round(dt * 1e3, 1),
+        fps=round(1.0 / dt, 2),
+        mrays_per_s=round(W * H * 2 / dt / 1e6, 1),
+    )
+
+
+def main():
+    picks = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for p in picks:
+        try:
+            fns[p]()
+        except Exception as e:  # keep the ladder running
+            _emit(config=f"config{p}", error=f"{type(e).__name__}: {e}"[:200])
+
+
+if __name__ == "__main__":
+    main()

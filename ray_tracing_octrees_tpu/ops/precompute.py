@@ -44,19 +44,33 @@ def sobel_gradient(volume: jax.Array, radiation: jax.Array) -> jax.Array:
     """
     s = np.array([-1.0, 0.0, 1.0], np.float32)
     w = np.array([1.0, 2.0, 1.0], np.float32)
-    g = jnp.zeros(volume.shape + (3,), jnp.float32)
+    dz_, dy_, dx_ = volume.shape
+    vol_p = jnp.pad(volume, 1)
+    rad_p = jnp.pad(radiation, 1)
+
+    def shift(a, dx, dy, dz):
+        return jax.lax.dynamic_slice(
+            a, (1 + dz, 1 + dy, 1 + dx), (dz_, dy_, dx_)
+        )
+
+    gx = jnp.zeros(volume.shape, jnp.float32)
+    gy = jnp.zeros(volume.shape, jnp.float32)
+    gz = jnp.zeros(volume.shape, jnp.float32)
     for iz in range(3):
         for iy in range(3):
             for ix in range(3):
                 weight = float(w[ix] * w[iy] * w[iz])
                 dx, dy, dz = int(s[ix]), int(s[iy]), int(s[iz])
-                rad = _shift_sample(radiation, dx, dy, dz)
+                rad = shift(rad_p, dx, dy, dz)
                 wgt = jnp.where(rad > 0.5, weight * jnp.maximum(0.0, 1.0 - rad), weight)
-                val = _shift_sample(volume, dx, dy, dz) * wgt
-                g = g.at[..., 0].add(val * s[ix])
-                g = g.at[..., 1].add(val * s[iy])
-                g = g.at[..., 2].add(val * s[iz])
-    return -g
+                val = shift(vol_p, dx, dy, dz) * wgt
+                if s[ix] != 0:
+                    gx = gx + val * float(s[ix])
+                if s[iy] != 0:
+                    gy = gy + val * float(s[iy])
+                if s[iz] != 0:
+                    gz = gz + val * float(s[iz])
+    return -jnp.stack([gx, gy, gz], axis=-1)
 
 
 @jax.jit

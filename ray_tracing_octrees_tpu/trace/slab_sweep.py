@@ -111,33 +111,35 @@ def _sweep(
     vol_bf = vol_o.astype(bf16)
     big_o = jnp.float32(S + s_pad + 1)
 
+    # hat (1D linear interp) matrices for ALL slices, hoisted out of the
+    # sweep loop: one vectorized build instead of per-chunk broadcasts.
+    o_all = jnp.arange(S + s_pad, dtype=f32)
+    k_all = (f32(S - 1) - o_all) if flip else o_all
+    s_all = (z0 - eye_s) / (k_all + 0.5 - eye_s)
+    pa_all = (ua[None, :] - eye_a) / s_all[:, None] + eye_a  # [S', H]
+    pb_all = (ub[None, :] - eye_b) / s_all[:, None] + eye_b  # [S', W]
+    ia = jnp.arange(A, dtype=f32)
+    ib = jnp.arange(B, dtype=f32)
+    ma_all = jnp.maximum(0.0, 1.0 - jnp.abs(pa_all[..., None] - 0.5 - ia)).astype(bf16)
+    mb_all = jnp.maximum(0.0, 1.0 - jnp.abs(pb_all[..., None] - 0.5 - ib)).astype(bf16)
+
     def chunk(ci, first_o):
-        o = ci * CH + jnp.arange(CH, dtype=f32)  # order indices
-        k = (f32(S - 1) - o) if flip else o      # original slice ids
-        zc = k + 0.5
-        s_k = (z0 - eye_s) / (zc - eye_s)        # [CH]
-        pa = (ua[None, :] - eye_a) / s_k[:, None] + eye_a  # [CH, H]
-        pb = (ub[None, :] - eye_b) / s_k[:, None] + eye_b  # [CH, W]
-        ia = jnp.arange(A, dtype=f32)
-        ib = jnp.arange(B, dtype=f32)
-        ma = jnp.maximum(
-            0.0, 1.0 - jnp.abs(pa[..., None] - 0.5 - ia)
-        ).astype(bf16)  # [CH, H, A]
-        mb = jnp.maximum(
-            0.0, 1.0 - jnp.abs(pb[..., None] - 0.5 - ib)
-        ).astype(bf16)  # [CH, W, B]
+        ma = jax.lax.dynamic_slice_in_dim(ma_all, ci * CH, CH, 0)
+        mb = jax.lax.dynamic_slice_in_dim(mb_all, ci * CH, CH, 0)
         sl = jax.lax.dynamic_slice_in_dim(vol_bf, ci * CH, CH, 0)  # [CH, A, B]
         hb = jnp.einsum("cha,cab->chb", ma, sl, preferred_element_type=bf16)
-        sh = jnp.einsum(
-            "chb,cwb->chw", hb, mb, preferred_element_type=jnp.float32
-        )  # [CH, H, W]
-        valid = (o < S)[:, None, None]
-        o_hit = jnp.where((sh > 0.5) & valid, o[:, None, None], big_o)
-        return jnp.minimum(first_o, o_hit.min(axis=0))
+        sh = jnp.einsum("chb,cwb->chw", hb, mb, preferred_element_type=bf16)
+        hits = sh > 0.5                      # bool [CH, H, W]
+        any_hit = hits.any(axis=0)
+        first_c = jnp.argmax(hits, axis=0)   # first True along the chunk
+        o_first = ci * CH + first_c
+        cand = jnp.where(any_hit, o_first.astype(f32), big_o)
+        return jnp.minimum(first_o, cand)
 
     first_o = jax.lax.fori_loop(
         0, n_chunks, chunk, jnp.full((inter_h, inter_w), big_o)
     )
+    first_o = jnp.where(first_o >= f32(S), big_o, first_o)  # padded slices
     hit_i = first_o < f32(S)
     k_first = (f32(S - 1) - first_o) if flip else first_o
     z_i = k_first + 0.5
