@@ -68,7 +68,9 @@ def _sweep(
     width: int, height: int,
     flip: bool,
 ):
-    """Front-to-back sweep + final warp. Returns (hit, t, hit_vox [N,3])."""
+    """Front-to-back sweep; returns (packed_hit_field, warp_indices,
+    behind_mask, ray_dirs, d_s_normalized) — the caller performs the single
+    warp gather as its own program."""
     f32 = jnp.float32
     S, A, B = vol.shape
     ks = jnp.arange(S, dtype=f32)
@@ -170,37 +172,22 @@ def _sweep(
     b_ref = e_b + d_b / voxel_size * t_ref
     behind = t_ref <= 0
 
-    # bilinear fetch of (hit, z) from the intermediate buffer
-    uu = (a_ref - a_min) / (a_max - a_min) * inter_h - 0.5
-    vv = (b_ref - b_min) / (b_max - b_min) * inter_w - 0.5
-    iu0 = jnp.clip(jnp.floor(uu).astype(jnp.int32), 0, inter_h - 1)
-    iv0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, inter_w - 1)
-    iu1 = jnp.clip(iu0 + 1, 0, inter_h - 1)
-    iv1 = jnp.clip(iv0 + 1, 0, inter_w - 1)
-    fu = jnp.clip(uu - iu0, 0.0, 1.0)
-    fv = jnp.clip(vv - iv0, 0.0, 1.0)
-
-    def fetch(img):
-        return (
-            img[iu0, iv0] * (1 - fu) * (1 - fv)
-            + img[iu0, iv1] * (1 - fu) * fv
-            + img[iu1, iv0] * fu * (1 - fv)
-            + img[iu1, iv1] * fu * fv
-        )
-
-    hit_f = fetch(hit_i.astype(f32))
-    z_f = fetch(jnp.where(hit_i, z_i, 0.0)) / jnp.maximum(hit_f, 1e-6)
-    hit = (hit_f > 0.5) & ~behind
-
-    # world-space t along the (normalized) ray from the hit slice depth
+    # Nearest-warp indices into the packed (hit, z) field. The gather
+    # itself runs as a separate minimal program: XLA's gather emitter is
+    # ~500x faster standalone than fused into a large computation.
+    uu = (a_ref - a_min) / (a_max - a_min) * inter_h
+    vv = (b_ref - b_min) / (b_max - b_min) * inter_w
+    iu = jnp.clip(uu.astype(jnp.int32), 0, inter_h - 1)
+    iv = jnp.clip(vv.astype(jnp.int32), 0, inter_w - 1)
+    packed = jnp.where(hit_i, z_i, -1.0).reshape(-1)
+    lin = iu * inter_w + iv
     d_len = jnp.linalg.norm(d_world, axis=-1)
-    t_world = (z_f - e_s) * voxel_size / (d_s / d_len)
-    t_world = jnp.where(hit, t_world, 0.0)
-
     dirs = d_world / d_len[:, None]
-    point = cam_pos[None, :] + dirs * t_world[:, None]
-    return hit, t_world, point, dirs
+    d_s_n = d_s / d_len
+    return packed, lin, behind, dirs, d_s_n
 
+
+_LAYOUT_CACHE: dict = {}
 
 # selectors: world-axis unit vectors for (sweep, A, B) per sweep axis
 # sweep axis x -> (x; A=y, B=z etc.) — A/B chosen to match the volume
@@ -244,14 +231,22 @@ def sweep_first_hit(
     look = -np.asarray(view)[2, :3]  # forward in world space
     axis_world = int(np.argmax(np.abs(look)))
 
-    # volume layout (S, A, B) per sweep axis, matching _AXIS_SELECTORS
-    vol_zyx = jnp.asarray(volume, f32)
-    if axis_world == 0:      # sweep X; A=Y, B=Z
-        vol = jnp.transpose(vol_zyx, (2, 1, 0))
-    elif axis_world == 1:    # sweep Y; A=X, B=Z
-        vol = jnp.transpose(vol_zyx, (1, 2, 0))
-    else:                    # sweep Z; A=X, B=Y
-        vol = jnp.transpose(vol_zyx, (0, 2, 1))  # (Z, X, Y)
+    # volume layout (S, A, B) per sweep axis, matching _AXIS_SELECTORS;
+    # memoized per (volume, axis) — the transpose is per-scene, not per-frame
+    key = (id(volume), axis_world)
+    vol = _LAYOUT_CACHE.get(key)
+    if vol is None:
+        vol_zyx = jnp.asarray(volume, f32)
+        if axis_world == 0:      # sweep X; A=Y, B=Z
+            vol = jnp.transpose(vol_zyx, (2, 1, 0))
+        elif axis_world == 1:    # sweep Y; A=X, B=Z
+            vol = jnp.transpose(vol_zyx, (1, 2, 0))
+        else:                    # sweep Z; A=X, B=Y
+            vol = jnp.transpose(vol_zyx, (0, 2, 1))  # (Z, X, Y)
+        vol = jax.block_until_ready(vol)
+        if len(_LAYOUT_CACHE) > 8:
+            _LAYOUT_CACHE.clear()
+        _LAYOUT_CACHE[key] = vol
 
     cam_vox = (np.asarray(camera_pos, np.float64) - np.asarray(grid_origin, np.float64)) / float(voxel_size)
     sel = _AXIS_SELECTORS[axis_world]
@@ -263,7 +258,7 @@ def sweep_first_hit(
     # far end of the slab range the nearest slice is the last one.
     flip = eye_s > vol.shape[0] / 2
 
-    return _sweep(
+    packed, lin, behind, dirs, d_s_n = _sweep(
         vol,
         f32(eye_s), f32(eye_a), f32(eye_b),
         cam_pos, view,
@@ -274,6 +269,28 @@ def sweep_first_hit(
         width, height,
         flip,
     )
+    w_val = _take(packed, lin)  # the isolated warp gather
+    return _finish_sweep(w_val, behind, dirs, d_s_n, cam_pos, f32(eye_s), vs)
+
+
+@jax.jit
+def _take(table, idx):
+    return jnp.take(table, idx)
+
+
+@jax.jit
+def _take_rows(table, idx):
+    return jnp.take(table, idx, axis=0)
+
+
+@jax.jit
+def _finish_sweep(w_val, behind, dirs, d_s_n, cam_pos, eye_s, voxel_size):
+    hit = (w_val >= 0.0) & ~behind
+    z_f = jnp.maximum(w_val, 0.0)
+    t_world = (z_f - eye_s) * voxel_size / d_s_n
+    t_world = jnp.where(hit, t_world, 0.0)
+    point = cam_pos[None, :] + dirs * t_world[:, None]
+    return hit, t_world, point, dirs
 
 
 @functools.partial(jax.jit, static_argnames=("flip",))
@@ -376,35 +393,59 @@ def render_fast_frame(
         volume, grid_origin, voxel_size, camera_pos, view,
         fov_deg, aspect, width, height, inter_h=inter_h, inter_w=inter_w,
     )
+    akey = (id(normal_volume), id(shadow_vol))
+    attr = _LAYOUT_CACHE.get(akey)
+    if attr is None:
+        nv = jnp.asarray(normal_volume)
+        if shadow_vol is not None:
+            attr = jnp.concatenate([nv, jnp.asarray(shadow_vol)[..., None]], axis=-1)
+        else:
+            attr = jnp.concatenate([nv, jnp.zeros(nv.shape[:3] + (1,), nv.dtype)], -1)
+        attr = jax.block_until_ready(attr)
+        _LAYOUT_CACHE[akey] = attr
     return _shade_fast(
-        hit, t, point, dirs, jnp.asarray(normal_volume),
-        None if shadow_vol is None else jnp.asarray(shadow_vol),
+        hit, t, point, dirs, attr,
         jnp.asarray(grid_origin, jnp.float32), jnp.asarray(voxel_size, jnp.float32),
         jnp.asarray(light_dir, jnp.float32), jnp.asarray(base_color, jnp.float32),
-        jnp.asarray(ambient, jnp.float32), width, height,
+        jnp.asarray(ambient, jnp.float32), width, height, shadow_vol is not None,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def _shade_fast(
-    hit, t, point, dirs, normal_volume, shadow_vol,
-    grid_origin, voxel_size, light_dir, base_color, ambient,
-    width: int, height: int,
-):
-    dz, dy, dx = normal_volume.shape[:3]
-    # nearest-voxel fetch at the hit point, nudged off the surface
+@functools.partial(jax.jit, static_argnames=("dims_zyx",))
+def _attr_indices(point, dirs, grid_origin, voxel_size, dims_zyx):
+    dz, dy, dx = dims_zyx
     p_in = point + dirs * (0.25 * voxel_size)
     v = ((p_in - grid_origin[None, :]) / voxel_size).astype(jnp.int32)
     vx = jnp.clip(v[:, 0], 0, dx - 1)
     vy = jnp.clip(v[:, 1], 0, dy - 1)
     vz = jnp.clip(v[:, 2], 0, dz - 1)
-    nrm = normal_volume[vz, vy, vx]
+    return (vz * dy + vy) * dx + vx
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "has_shadow"))
+def _shade_from_attrs(
+    hit, att, light_dir, base_color, ambient,
+    width: int, height: int, has_shadow: bool,
+):
+    nrm = att[:, :3]
     l = light_dir / jnp.linalg.norm(light_dir)
     ndotl = jnp.maximum(0.0, -(nrm * l[None, :]).sum(-1))
     color = base_color[None, :] * ndotl[:, None] + ambient[None, :]
-    if shadow_vol is not None:
-        occl = shadow_vol[vz, vy, vx]
-        color = jnp.where((occl > 0.5)[:, None], ambient[None, :], color)
+    if has_shadow:
+        color = jnp.where((att[:, 3] > 0.5)[:, None], ambient[None, :], color)
     color = jnp.where(hit[:, None], color, 0.0)
     rgba = jnp.concatenate([color, jnp.ones((color.shape[0], 1), jnp.float32)], -1)
     return rgba.reshape(height, width, 4)
+
+
+def _shade_fast(
+    hit, t, point, dirs, attr_volume, grid_origin, voxel_size,
+    light_dir, base_color, ambient, width: int, height: int,
+    has_shadow: bool,
+):
+    """Lambert + shadow; the packed attribute gather runs isolated."""
+    lin = _attr_indices(point, dirs, grid_origin, voxel_size, attr_volume.shape[:3])
+    att = _take_rows(attr_volume.reshape(-1, 4), lin)
+    return _shade_from_attrs(
+        hit, att, light_dir, base_color, ambient, width, height, has_shadow
+    )
