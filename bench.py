@@ -68,12 +68,15 @@ def main() -> None:
     cam = Camera(theta=0.9, phi=0.8, radius=0.75 * extent)
     cam.set_target(np.asarray(building_center(grid)))
 
-    light_dir = (0.5, 0.9, 0.4)  # raycastFS.glsl mainLightDir
-    shadow = shadow_volume(vol, light_dir)
+    # raycastFS mainLightDir points TOWARD the light; the Lambert shader
+    # takes the away-from-light vector, the shadow sweep the toward vector.
+    to_light = (0.5, 0.9, 0.4)
+    light_dir = tuple(-c for c in to_light)
+    shadow = shadow_volume(vol, to_light)
     jax.block_until_ready(shadow)
 
     def frame():
-        sv = shadow_volume(vol, light_dir)  # per-frame shadow sweep
+        sv = shadow_volume(vol, to_light)  # per-frame shadow sweep
         return render_fast_frame(
             vol, normals, sv, grid.origin, grid.voxel_size,
             cam.get_pos(), cam.get_view(), 45.0, aspect, width, height,

@@ -193,8 +193,9 @@ def config5():
     grad = sobel_gradient(vol, jnp.zeros_like(vol))
     gm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
     normals = jnp.where(gm > 1e-3, grad / jnp.maximum(gm, 1e-30), 0.0)
-    light = (0.5, 0.9, 0.4)
-    sv = shadow_volume(vol, light)
+    to_light = (0.5, 0.9, 0.4)
+    light = tuple(-c for c in to_light)
+    sv = shadow_volume(vol, to_light)
 
     extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
     W, H = 3840, 2160  # 4K fly-through

@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ray_tracing_octrees_tpu.config import EngineConfig, DEFAULT_CONFIG
 from ray_tracing_octrees_tpu.core.grid import VoxelGrid
@@ -89,13 +90,22 @@ def render_octree_image(
 
 @dataclasses.dataclass
 class OctreeRayTracer:
-    """Stateful pipeline wrapper (mirrors RayTracerBVH's set/render API)."""
+    """Stateful pipeline wrapper (mirrors RayTracerBVH's set/render API).
+
+    Two execution paths: the exact wavefront traversal (reference
+    semantics) and, via ``render(..., fast=True)``, the MXU slab-sweep
+    tracer with gradient normals and a per-frame directional shadow
+    volume (see trace/slab_sweep.py for documented divergences).
+    """
 
     config: EngineConfig = DEFAULT_CONFIG
     pyramid: Optional[OccupancyPyramid] = None
     culled_pyramid: Optional[OccupancyPyramid] = None
     grid_origin: Optional[jax.Array] = None
     voxel_size: Optional[jax.Array] = None
+    _fast_vol: Optional[jax.Array] = None
+    _fast_normals: Optional[jax.Array] = None
+    _fast_shadow: Optional[jax.Array] = None
 
     def set_octree(self, grid: VoxelGrid, pyramid: Optional[OccupancyPyramid] = None):
         """setOctree (RayTracerBVH.cpp:430-505): bind the scene."""
@@ -103,6 +113,25 @@ class OctreeRayTracer:
         self.culled_pyramid = None
         self.grid_origin = grid.origin
         self.voxel_size = grid.voxel_size
+        self._fast_vol = None
+        self._fast_normals = None
+        self._fast_shadow = None
+
+    def _ensure_fast(self):
+        if self._fast_vol is None:
+            from ray_tracing_octrees_tpu.ops.precompute import sobel_gradient
+            from ray_tracing_octrees_tpu.trace.slab_sweep import shadow_volume
+
+            self._fast_vol = (self.pyramid.code_levels[0] > 0).astype(jnp.float32)
+            g = sobel_gradient(self._fast_vol, jnp.zeros_like(self._fast_vol))
+            gm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+            self._fast_normals = jnp.where(
+                gm > 1e-3, g / jnp.maximum(gm, 1e-30), 0.0
+            )
+            # the reference Lambert light (-1,-1,-1) means the light sits at
+            # +1,+1,+1; occlusion is swept toward it
+            l = -jnp.asarray(self.config.raytrace.light_dir, jnp.float32)
+            self._fast_shadow = shadow_volume(self._fast_vol, np.asarray(l))
 
     def update_frustum(self, view_proj):
         """CPU-side culling step of renderSceneComputeWithCulling
@@ -123,9 +152,30 @@ class OctreeRayTracer:
         aspect: float,
         use_culling: bool = False,
         shadows: bool = False,
+        fast: bool = False,
     ):
-        pyr = self.culled_pyramid if (use_culling and self.culled_pyramid) else self.pyramid
         rt = self.config.raytrace
+        if fast:
+            from ray_tracing_octrees_tpu.trace.slab_sweep import render_fast_frame
+
+            self._ensure_fast()
+            return render_fast_frame(
+                self._fast_vol,
+                self._fast_normals,
+                self._fast_shadow if shadows else None,
+                self.grid_origin,
+                self.voxel_size,
+                camera.get_pos(),
+                camera.get_view(),
+                self.config.camera.fov_deg,
+                aspect,
+                width,
+                height,
+                light_dir=rt.light_dir,
+                base_color=rt.base_color,
+                ambient=rt.ambient,
+            )
+        pyr = self.culled_pyramid if (use_culling and self.culled_pyramid) else self.pyramid
         return render_octree_image(
             pyr,
             self.grid_origin,
