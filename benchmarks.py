@@ -79,12 +79,26 @@ def config2():
         lambda r: r["t"],
     )
     hits = int(np.asarray(out["hit"]).sum())
+
+    # fast slab-sweep variant of the same depth buffer
+    from ray_tracing_octrees_tpu.trace.slab_sweep import sweep_first_hit
+
+    vol = (jnp.asarray(g.occ) > 0).astype(jnp.float32)
+    out2, dt2 = _bench(
+        lambda: sweep_first_hit(
+            vol, g.origin, g.voxel_size, cam.get_pos(), cam.get_view(),
+            45.0, 1.0, 512, 512,
+        ),
+        lambda r: r[1],
+    )
     _emit(
         config="sphere128_raycast_512_depth_normal",
         rays=512 * 512,
         hits=hits,
         frame_ms=round(dt * 1e3, 3),
         mrays_per_s=round(512 * 512 / dt / 1e6, 3),
+        sweep_frame_ms=round(dt2 * 1e3, 3),
+        sweep_mrays_per_s=round(512 * 512 / dt2 / 1e6, 3),
     )
 
 

@@ -359,3 +359,21 @@ def leaf_grid_arrays(tree: LinearOctree, dims_xyz: Tuple[int, int, int]):
         leaf_solid[z0:z1, y0:y1, x0:x1] = solid[i]
         corner_id[z0, y0, x0] = i
     return leaf_size, leaf_solid, corner_id
+
+
+def get_neighbors(tree: LinearOctree, node_idx):
+    """Six face-neighbor node indices (or -1), same-size corner lookups.
+
+    Port of ``getNeighbors`` (OctreeVoxel.cpp:559-630): offsets the node
+    corner by +-size along each axis and resolves through the corner-key
+    map (deepest node wins). Vectorized over node_idx.
+    """
+    node_idx = jnp.asarray(node_idx, jnp.int32)
+    x = tree.x[node_idx]
+    y = tree.y[node_idx]
+    z = tree.z[node_idx]
+    s = tree.size[node_idx]
+    out = []
+    for dx, dy, dz in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)):
+        out.append(tree.find_node(x + dx * s, y + dy * s, z + dz * s))
+    return jnp.stack(out, axis=-1)

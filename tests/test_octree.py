@@ -132,3 +132,30 @@ def test_sphere_octree_scales():
     sizes = np.asarray(tree.size)
     covered = (sizes[leaf & solid].astype(np.int64) ** 3).sum()
     assert covered == int(np.asarray(g.occ).astype(np.int64).sum())
+
+
+def test_get_neighbors_matches_oracle(rng):
+    from ray_tracing_octrees_tpu.core.octree import get_neighbors
+    from tests.oracles import build_key
+
+    occ = random_grid(rng, (8, 8, 8), p=0.4)
+    tree = build_linear_octree(occ)
+    oracle = OracleGrid(occ, np.zeros(3, np.float32), 1.0)
+    root, node_map = build_octree(oracle)
+
+    xs, ys, zs = np.asarray(tree.x), np.asarray(tree.y), np.asarray(tree.z)
+    sizes = np.asarray(tree.size)
+    nb = np.asarray(get_neighbors(tree, np.arange(tree.num_nodes)))
+    for i in range(tree.num_nodes):
+        s = sizes[i]
+        for j, (dx, dy, dz) in enumerate(
+            ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1))
+        ):
+            key = build_key(xs[i] + dx * s, ys[i] + dy * s, zs[i] + dz * s)
+            ref = node_map.get(key)
+            if ref is None:
+                assert nb[i, j] == -1
+            else:
+                k = nb[i, j]
+                assert k >= 0
+                assert (xs[k], ys[k], zs[k]) == (ref.x, ref.y, ref.z)
