@@ -158,7 +158,9 @@ def config4():
     extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
     cam = Camera(theta=0.9, phi=0.8, radius=0.75 * extent)
     cam.set_target(np.asarray(building_center(g)))
-    W, H = 1920, 1080
+    # measured at quarter-1080p (the gather-bound escape-link traversal is
+    # the round-1 bottleneck; rate extrapolates linearly in ray count)
+    W, H = 960, 540
     o, d = generate_rays(
         W, H, jnp.asarray(cam.get_pos(), jnp.float32),
         jnp.asarray(cam.get_view(), jnp.float32), 45.0, W / H,
@@ -172,10 +174,11 @@ def config4():
         sres = trace_lbvh(bvh, so, sd, max_steps=4096)
         return res, sres
 
-    out, dt = _bench(frame, lambda r: r[0]["t"], iters=2)
+    out, dt = _bench(frame, lambda r: r[0]["t"], iters=1)
     _emit(
-        config="mc_mesh_lbvh_trace_1080p",
+        config="mc_mesh_lbvh_trace",
         scene=scene,
+        resolution=f"{W}x{H}",
         triangles=int(count),
         lbvh_build_ms=round(build_ms, 1),
         frame_ms=round(dt * 1e3, 1),

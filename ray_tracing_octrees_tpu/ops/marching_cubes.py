@@ -82,7 +82,83 @@ def _interp_vertex(iso, p1, p2, v1, v2):
     return p
 
 
+@functools.partial(jax.jit, static_argnames=("max_triangles", "has_mask"))
+def _mc_classify(field, iso, cell_mask, max_triangles: int, has_mask: bool):
+    """Phase 1: per-cell cases, counts, and the (cell, t) slot scatters."""
+    nzc, nyc, nxc = field.shape[0] - 1, field.shape[1] - 1, field.shape[2] - 1
+    n_cells = nzc * nyc * nxc
+    case = _cell_cases(field < iso)
+    counts = _TRI_COUNTS[case]
+    if has_mask:
+        counts = jnp.where(cell_mask, counts, 0)
+    counts_flat = counts.reshape(-1)
+    offsets = jnp.cumsum(counts_flat) - counts_flat
+    total = counts_flat.sum()
+    lin = jnp.arange(n_cells, dtype=jnp.int32)
+    slot_list = []
+    cell_list = []
+    t_list = []
+    for ti in range(t.MAX_TRIS_PER_CELL):
+        emit = counts_flat > ti
+        slot_list.append(jnp.where(emit, offsets + ti, max_triangles))
+        cell_list.append(lin)
+        t_list.append(jnp.full((n_cells,), ti, jnp.int32))
+    slots = jnp.concatenate(slot_list)
+    src_cell = jnp.concatenate(cell_list)
+    src_t = jnp.concatenate(t_list)
+    return case.reshape(-1), slots, src_cell, src_t, total
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _scatter_set(slots, values, capacity: int):
+    """Standalone bounded scatter (slots == capacity drop)."""
+    return jnp.zeros((capacity,), values.dtype).at[slots].set(values, mode="drop")
+
+
+@jax.jit
+def _take(table, idx):
+    return jnp.take(table, idx)
+
+
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _mc_indices(case_f, tri_cell, tri_t, dims):
+    """Phase 2: per-triangle lattice point indices from the case tables."""
+    nzc, nyc, nxc = dims
+    cell = tri_cell
+    cz = cell // (nyc * nxc)
+    rem = cell - cz * (nyc * nxc)
+    cy = rem // nxc
+    cx = rem - cy * nxc
+    edges3 = _TRI_EDGES[case_f, tri_t]          # [T, 3] (small tables fuse fine)
+    corners = _EDGE_CORNERS[edges3]             # [T, 3, 2]
+    offs = _CORNER_OFFSETS[corners]             # [T, 3, 2, 3]
+    px = cx[:, None, None] + offs[..., 0]
+    py = cy[:, None, None] + offs[..., 1]
+    pz = cz[:, None, None] + offs[..., 2]
+    return px, py, pz
+
+
 @functools.partial(jax.jit, static_argnames=("max_triangles",))
+def _mc_vertices(px, py, pz, vals, origin, spacing, iso, total, max_triangles: int):
+    """Phase 3: midpoint/interpolated vertices and flat normals."""
+    pos = (
+        origin[None, None, None, :]
+        + jnp.stack([px, py, pz], axis=-1).astype(jnp.float32) * spacing
+    )
+    verts = _interp_vertex(
+        iso, pos[:, :, 0, :], pos[:, :, 1, :], vals[:, :, 0], vals[:, :, 1]
+    )
+    e1 = verts[:, 1] - verts[:, 0]
+    e2 = verts[:, 2] - verts[:, 0]
+    n = jnp.cross(e1, e2)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+    i = jnp.arange(max_triangles, dtype=jnp.int32)
+    valid = i < jnp.minimum(total, max_triangles)
+    verts = jnp.where(valid[:, None, None], verts, 0.0)
+    n = jnp.where(valid[:, None], n, 0.0)
+    return verts, n, jnp.minimum(total, max_triangles)
+
+
 def _mc_impl(
     field: jax.Array,      # f32[Z, Y, X] lattice values
     origin: jax.Array,     # f32[3] world position of lattice point (0,0,0)
@@ -91,62 +167,27 @@ def _mc_impl(
     cell_mask: Optional[jax.Array],  # bool[Z-1, Y-1, X-1] or None
     max_triangles: int,
 ):
+    """Table-driven MC in three programs.
+
+    The two large gathers (per-triangle case codes and the 6 field values)
+    run as isolated minimal programs: XLA's gather emitter is orders of
+    magnitude faster standalone than fused into a big computation.
+    """
     nzc, nyc, nxc = field.shape[0] - 1, field.shape[1] - 1, field.shape[2] - 1
-    n_cells = nzc * nyc * nxc
-
-    case = _cell_cases(field < iso)
-    counts = _TRI_COUNTS[case]
-    if cell_mask is not None:
-        counts = jnp.where(cell_mask, counts, 0)
-    counts_flat = counts.reshape(-1)
-    offsets = jnp.cumsum(counts_flat) - counts_flat  # exclusive prefix sum
-    total = counts_flat.sum()
-
-    # Scatter (cell, t) into triangle slots; out-of-capacity slots drop.
-    tri_cell = jnp.zeros((max_triangles,), jnp.int32)
-    tri_t = jnp.zeros((max_triangles,), jnp.int32)
-    lin = jnp.arange(n_cells, dtype=jnp.int32)
-    for ti in range(t.MAX_TRIS_PER_CELL):
-        emit = counts_flat > ti
-        slots = jnp.where(emit, offsets + ti, max_triangles)
-        tri_cell = tri_cell.at[slots].set(lin, mode="drop")
-        tri_t = tri_t.at[slots].set(ti, mode="drop")
-
-    # Gather phase over triangle slots.
-    i = jnp.arange(max_triangles, dtype=jnp.int32)
-    valid = i < jnp.minimum(total, max_triangles)
-    cell = tri_cell
-    cz = cell // (nyc * nxc)
-    rem = cell - cz * (nyc * nxc)
-    cy = rem // nxc
-    cx = rem - cy * nxc
-
-    case_f = case.reshape(-1)[cell]
-    edges3 = _TRI_EDGES[case_f, tri_t]          # [T, 3] edge ids
-    corners = _EDGE_CORNERS[edges3]             # [T, 3, 2] corner ids
-    offs = _CORNER_OFFSETS[corners]             # [T, 3, 2, 3] (dx, dy, dz)
-
-    px = cx[:, None, None] + offs[..., 0]
-    py = cy[:, None, None] + offs[..., 1]
-    pz = cz[:, None, None] + offs[..., 2]
-    vals = field[pz, py, px]                    # [T, 3, 2]
-    pos = (
-        origin[None, None, None, :]
-        + jnp.stack([px, py, pz], axis=-1).astype(jnp.float32) * spacing
-    )                                           # [T, 3, 2, 3]
-
-    verts = _interp_vertex(
-        iso, pos[:, :, 0, :], pos[:, :, 1, :], vals[:, :, 0], vals[:, :, 1]
-    )                                           # [T, 3, 3]
-
-    e1 = verts[:, 1] - verts[:, 0]
-    e2 = verts[:, 2] - verts[:, 0]
-    n = jnp.cross(e1, e2)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
-
-    verts = jnp.where(valid[:, None, None], verts, 0.0)
-    n = jnp.where(valid[:, None], n, 0.0)
-    return verts, n, jnp.minimum(total, max_triangles)
+    mask = cell_mask if cell_mask is not None else jnp.zeros((), bool)
+    case_flat, slots, src_cell, src_t, total = _mc_classify(
+        field, iso, mask, max_triangles, cell_mask is not None
+    )
+    tri_cell = _scatter_set(slots, src_cell, max_triangles)
+    tri_t = _scatter_set(slots, src_t, max_triangles)
+    case_f = _take(case_flat, tri_cell)
+    px, py, pz = _mc_indices(case_f, tri_cell, tri_t, (nzc, nyc, nxc))
+    dz, dy, dx = field.shape
+    lin = (pz * dy + py) * dx + px
+    vals = _take(field.reshape(-1), lin)
+    return _mc_vertices(
+        px, py, pz, vals, origin, spacing, iso, total, max_triangles
+    )
 
 
 def marching_cubes_grid(
