@@ -51,104 +51,95 @@ def _hat_matrix(out_coords, in_size: int):
     return w
 
 
+_LAYOUT_CACHE: dict = {}
+
+# selectors: world-axis unit vectors for (sweep, A, B) per sweep axis,
+# matching the volume transposes in _layout_volume.
+_AXIS_SELECTORS = {
+    0: (np.array([1.0, 0, 0], np.float32), np.array([0, 1.0, 0], np.float32), np.array([0, 0, 1.0], np.float32)),
+    1: (np.array([0, 1.0, 0], np.float32), np.array([1.0, 0, 0], np.float32), np.array([0, 0, 1.0], np.float32)),
+    2: (np.array([0, 0, 1.0], np.float32), np.array([1.0, 0, 0], np.float32), np.array([0, 1.0, 0], np.float32)),
+}
+
+
+# Per-frame parameters ride in ONE packed f32 array (every separate host
+# scalar/argument is a separate host->device transfer over the device
+# tunnel, ~ms each; packing makes a frame cost 1 upload).
+# Layout: 0 eye_s, 1 eye_a, 2 eye_b, 3 z0, 4 a_min, 5 a_max, 6 b_min,
+# 7 b_max, 8 fov_deg, 9 aspect, 10 voxel_size, 11 S, 12..14 origin,
+# 15..17 cam_pos, 18..33 view (row major), 34..36 light_dir,
+# 37..39 base_color, 40..42 ambient.
+_SCAL_N = 43
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "axis_world", "inter_h", "inter_w", "width", "height", "flip",
-    ),
+    static_argnames=("n_chunks", "s_valid", "a_size", "b_size",
+                     "inter_h", "inter_w", "flip"),
 )
-def _sweep(
-    vol,            # f32[S, A, B]: sweep axis first, slice rows A, cols B
-    eye_s, eye_a, eye_b,   # eye position in voxel coords of this layout
-    cam_pos, view,          # world camera (for the final warp rays)
-    axis_world,             # int: which world axis (0/1/2) is the sweep axis
-    grid_origin, voxel_size,
-    fov_deg, aspect,
-    inter_h: int, inter_w: int,
-    width: int, height: int,
-    flip: bool,
-):
-    """Front-to-back sweep; returns (packed_hit_field, warp_indices,
-    behind_mask, ray_dirs, d_s_normalized) — the caller performs the single
-    warp gather as its own program."""
+def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
+               b_size: int, inter_h: int, inter_w: int, flip: bool):
+    """hats + chunked MXU first-hit loop + packing, one program.
+
+    Returns the packed (hit ? slice_center : -1) field, flattened.
+    """
     f32 = jnp.float32
-    S, A, B = vol.shape
-    ks = jnp.arange(S, dtype=f32)
-    if flip:
-        ks = ks[::-1]
+    bf16 = jnp.bfloat16
+    CH = 32
+    sp = vol_bf.shape[0]
+    eye_s, eye_a, eye_b, z0 = scal[0], scal[1], scal[2], scal[3]
+    a_min, a_max, b_min, b_max = scal[4], scal[5], scal[6], scal[7]
 
-    # slice sample planes at voxel-center depth zc = k + 0.5 (voxel units of
-    # the sweep axis); reference plane = first slice along the sweep
-    z0 = ks[0] + 0.5
-    dzk = jnp.abs(z0 - eye_s)
-
-    # sheared-space pixel lattice: intermediate pixel (u, v) corresponds to
-    # the ray through the eye and the point (a(u), b(v)) on the reference
-    # plane; a/b in voxel coordinates of the slice axes.
-    # Choose the intermediate window = projection of the whole volume onto
-    # the reference plane (conservative: the scale of the farthest slice).
-    s_far = (z0 - eye_s) / (ks[-1] + 0.5 - eye_s)
-    # window bounds on the reference plane: union of slice footprints
-    a_min = jnp.minimum(0.0, (0.0 - eye_a) * s_far + eye_a)
-    a_max = jnp.maximum(f32(A), (f32(A) - eye_a) * s_far + eye_a)
-    b_min = jnp.minimum(0.0, (0.0 - eye_b) * s_far + eye_b)
-    b_max = jnp.maximum(f32(B), (f32(B) - eye_b) * s_far + eye_b)
     ua = a_min + (a_max - a_min) * (jnp.arange(inter_h, dtype=f32) + 0.5) / inter_h
     ub = b_min + (b_max - b_min) * (jnp.arange(inter_w, dtype=f32) + 0.5) / inter_w
 
-    # Chunked batched sweep: the first hit along the sweep is the MINIMUM
-    # front-to-back order index with density > 0.5 — an associative
-    # reduction, so slices are processed in batches of CH with batched
-    # einsums (keeps the MXU busy; a sequential per-slice scan spends its
-    # time on dispatch, not FLOPs).
-    CH = 32
-    vol_o = vol[::-1] if flip else vol  # sweep order along axis 0
-    s_pad = (-S) % CH
-    if s_pad:
-        vol_o = jnp.concatenate(
-            [vol_o, jnp.zeros((s_pad, A, B), vol_o.dtype)], axis=0
-        )
-    n_chunks = (S + s_pad) // CH
-    bf16 = jnp.bfloat16
-    vol_bf = vol_o.astype(bf16)
-    big_o = jnp.float32(S + s_pad + 1)
-
-    # hat (1D linear interp) matrices for ALL slices, hoisted out of the
-    # sweep loop: one vectorized build instead of per-chunk broadcasts.
-    o_all = jnp.arange(S + s_pad, dtype=f32)
-    k_all = (f32(S - 1) - o_all) if flip else o_all
+    o_all = jnp.arange(sp, dtype=f32)
+    k_all = (f32(s_valid) - 1.0 - o_all) if flip else o_all
     s_all = (z0 - eye_s) / (k_all + 0.5 - eye_s)
-    pa_all = (ua[None, :] - eye_a) / s_all[:, None] + eye_a  # [S', H]
-    pb_all = (ub[None, :] - eye_b) / s_all[:, None] + eye_b  # [S', W]
-    ia = jnp.arange(A, dtype=f32)
-    ib = jnp.arange(B, dtype=f32)
+    pa_all = (ua[None, :] - eye_a) / s_all[:, None] + eye_a
+    pb_all = (ub[None, :] - eye_b) / s_all[:, None] + eye_b
+    ia = jnp.arange(a_size, dtype=f32)
+    ib = jnp.arange(b_size, dtype=f32)
     ma_all = jnp.maximum(0.0, 1.0 - jnp.abs(pa_all[..., None] - 0.5 - ia)).astype(bf16)
     mb_all = jnp.maximum(0.0, 1.0 - jnp.abs(pb_all[..., None] - 0.5 - ib)).astype(bf16)
+
+    big_o = f32(sp + 1)
 
     def chunk(ci, first_o):
         ma = jax.lax.dynamic_slice_in_dim(ma_all, ci * CH, CH, 0)
         mb = jax.lax.dynamic_slice_in_dim(mb_all, ci * CH, CH, 0)
-        sl = jax.lax.dynamic_slice_in_dim(vol_bf, ci * CH, CH, 0)  # [CH, A, B]
+        sl = jax.lax.dynamic_slice_in_dim(vol_bf, ci * CH, CH, 0)
         hb = jnp.einsum("cha,cab->chb", ma, sl, preferred_element_type=bf16)
         sh = jnp.einsum("chb,cwb->chw", hb, mb, preferred_element_type=bf16)
-        hits = sh > 0.5                      # bool [CH, H, W]
-        any_hit = hits.any(axis=0)
-        first_c = jnp.argmax(hits, axis=0)   # first True along the chunk
-        o_first = ci * CH + first_c
-        cand = jnp.where(any_hit, o_first.astype(f32), big_o)
+        hits = sh > 0.5
+        cand = jnp.where(
+            hits.any(axis=0),
+            (ci * CH + jnp.argmax(hits, axis=0)).astype(f32),
+            big_o,
+        )
         return jnp.minimum(first_o, cand)
 
-    first_o = jax.lax.fori_loop(
-        0, n_chunks, chunk, jnp.full((inter_h, inter_w), big_o)
-    )
-    first_o = jnp.where(first_o >= f32(S), big_o, first_o)  # padded slices
-    hit_i = first_o < f32(S)
-    k_first = (f32(S - 1) - first_o) if flip else first_o
-    z_i = k_first + 0.5
+    first_o = jax.lax.fori_loop(0, n_chunks, chunk, jnp.full((inter_h, inter_w), big_o))
+    hit_i = first_o < f32(s_valid)
+    k_first = (f32(s_valid) - 1.0 - first_o) if flip else first_o
+    return jnp.where(hit_i, k_first + 0.5, -1.0).reshape(-1)
 
-    # ---- final warp: image pixel -> ray -> reference-plane (a, b) --------------
-    # pinhole rays identical to generate_rays (camera.py)
-    tan_half = jnp.tan(jnp.asarray(fov_deg, f32) * f32(math.pi / 360.0))
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("axis_world", "inter_h", "inter_w", "width", "height"),
+)
+def _warp_setup(scal, axis_world: int, inter_h: int, inter_w: int,
+                width: int, height: int):
+    """Per-pixel warp indices into the sheared buffer + ray geometry."""
+    f32 = jnp.float32
+    eye_s, eye_a, eye_b, z0 = scal[0], scal[1], scal[2], scal[3]
+    a_min, a_max, b_min, b_max = scal[4], scal[5], scal[6], scal[7]
+    fov_deg, aspect, voxel_size = scal[8], scal[9], scal[10]
+    cam_pos = scal[15:18]
+    view = scal[18:34].reshape(4, 4)
+
+    tan_half = jnp.tan(fov_deg * f32(math.pi / 360.0))
     px = (jnp.arange(width, dtype=f32) + 0.5) / width * 2.0 - 1.0
     py = 1.0 - (jnp.arange(height, dtype=f32) + 0.5) / height * 2.0
     nx = px * aspect * tan_half
@@ -156,47 +147,92 @@ def _sweep(
     nxg, nyg = jnp.meshgrid(nx, ny, indexing="xy")
     d_view = jnp.stack([nxg, nyg, -jnp.ones_like(nxg)], -1)
     inv_view = jnp.linalg.inv(view)
-    d_world = d_view.reshape(-1, 3) @ inv_view[:3, :3].T  # unnormalized
+    d_world = d_view.reshape(-1, 3) @ inv_view[:3, :3].T
 
-    # ray components along the (sweep, A, B) world axes
     sel = _AXIS_SELECTORS[axis_world]
     d_s = d_world @ jnp.asarray(sel[0], f32)
     d_a = d_world @ jnp.asarray(sel[1], f32)
     d_b = d_world @ jnp.asarray(sel[2], f32)
-    # convert to voxel units (uniform voxel size)
-    # ray parameterized by world t; intersection with reference plane:
-    e_s, e_a, e_b = eye_s, eye_a, eye_b
     denom = d_s / voxel_size
-    t_ref = (z0 - e_s) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    a_ref = e_a + d_a / voxel_size * t_ref
-    b_ref = e_b + d_b / voxel_size * t_ref
+    t_ref = (z0 - eye_s) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    a_ref = eye_a + d_a / voxel_size * t_ref
+    b_ref = eye_b + d_b / voxel_size * t_ref
     behind = t_ref <= 0
 
-    # Nearest-warp indices into the packed (hit, z) field. The gather
-    # itself runs as a separate minimal program: XLA's gather emitter is
-    # ~500x faster standalone than fused into a large computation.
     uu = (a_ref - a_min) / (a_max - a_min) * inter_h
     vv = (b_ref - b_min) / (b_max - b_min) * inter_w
     iu = jnp.clip(uu.astype(jnp.int32), 0, inter_h - 1)
     iv = jnp.clip(vv.astype(jnp.int32), 0, inter_w - 1)
-    packed = jnp.where(hit_i, z_i, -1.0).reshape(-1)
     lin = iu * inter_w + iv
     d_len = jnp.linalg.norm(d_world, axis=-1)
     dirs = d_world / d_len[:, None]
     d_s_n = d_s / d_len
-    return packed, lin, behind, dirs, d_s_n
+    return lin, behind, dirs, d_s_n
 
 
-_LAYOUT_CACHE: dict = {}
+def _frame_scalars(eye_s, eye_a, eye_b, z0, a_min, a_max, b_min, b_max,
+                   fov_deg, aspect, voxel_size, s_valid, origin, cam_pos,
+                   view, light_dir=(0, 0, 0), base=(0, 0, 0), amb=(0, 0, 0)):
+    scal = np.zeros(_SCAL_N, np.float32)
+    scal[0:8] = (eye_s, eye_a, eye_b, z0, a_min, a_max, b_min, b_max)
+    scal[8:12] = (fov_deg, aspect, voxel_size, s_valid)
+    scal[12:15] = origin
+    scal[15:18] = cam_pos
+    scal[18:34] = np.asarray(view, np.float32).reshape(-1)
+    scal[34:37] = light_dir
+    scal[37:40] = base
+    scal[40:43] = amb
+    return jnp.asarray(scal)
 
-# selectors: world-axis unit vectors for (sweep, A, B) per sweep axis
-# sweep axis x -> (x; A=y, B=z etc.) — A/B chosen to match the volume
-# transposes in `sweep_first_hit`.
-_AXIS_SELECTORS = {
-    0: (np.array([1.0, 0, 0], np.float32), np.array([0, 1.0, 0], np.float32), np.array([0, 0, 1.0], np.float32)),
-    1: (np.array([0, 1.0, 0], np.float32), np.array([1.0, 0, 0], np.float32), np.array([0, 0, 1.0], np.float32)),
-    2: (np.array([0, 0, 1.0], np.float32), np.array([1.0, 0, 0], np.float32), np.array([0, 1.0, 0], np.float32)),
-}
+
+def _sweep_geometry(volume, grid_origin, voxel_size, camera_pos, view):
+    """Host-side sweep configuration: axis, flip, eye coords, window."""
+    look = -np.asarray(view)[2, :3]
+    axis_world = int(np.argmax(np.abs(look)))
+    cam_vox = (
+        np.asarray(camera_pos, np.float64) - np.asarray(grid_origin, np.float64)
+    ) / float(voxel_size)
+    sel = _AXIS_SELECTORS[axis_world]
+    eye_s = float(cam_vox @ np.asarray(sel[0], np.float64))
+    eye_a = float(cam_vox @ np.asarray(sel[1], np.float64))
+    eye_b = float(cam_vox @ np.asarray(sel[2], np.float64))
+    dz, dy, dx = volume.shape[:3]
+    S, A, B = {0: (dx, dy, dz), 1: (dy, dx, dz), 2: (dz, dx, dy)}[axis_world]
+    flip = eye_s > S / 2
+    k0 = (S - 1.0) if flip else 0.0
+    z0 = k0 + 0.5
+    s_far_k = 0.0 if flip else (S - 1.0)
+    s_far = (z0 - eye_s) / (s_far_k + 0.5 - eye_s)
+    a_min = min(0.0, (0.0 - eye_a) * s_far + eye_a)
+    a_max = max(float(A), (float(A) - eye_a) * s_far + eye_a)
+    b_min = min(0.0, (0.0 - eye_b) * s_far + eye_b)
+    b_max = max(float(B), (float(B) - eye_b) * s_far + eye_b)
+    return axis_world, flip, (S, A, B), (eye_s, eye_a, eye_b, z0), (a_min, a_max, b_min, b_max)
+
+
+def _layout_volume(volume, axis_world, flip, S, A, B):
+    """bf16 sweep-order volume, padded to the chunk size; cached per scene."""
+    CH = 32
+    key = (id(volume), axis_world, flip)
+    vol_bf = _LAYOUT_CACHE.get(key)
+    if vol_bf is None:
+        vol_zyx = jnp.asarray(volume, jnp.float32)
+        if axis_world == 0:
+            vol = jnp.transpose(vol_zyx, (2, 1, 0))
+        elif axis_world == 1:
+            vol = jnp.transpose(vol_zyx, (1, 2, 0))
+        else:
+            vol = jnp.transpose(vol_zyx, (0, 2, 1))
+        if flip:
+            vol = vol[::-1]
+        s_pad = (-S) % CH
+        if s_pad:
+            vol = jnp.concatenate([vol, jnp.zeros((s_pad, A, B), jnp.float32)], 0)
+        vol_bf = jax.block_until_ready(vol.astype(jnp.bfloat16))
+        if len(_LAYOUT_CACHE) > 12:
+            _LAYOUT_CACHE.clear()
+        _LAYOUT_CACHE[key] = vol_bf
+    return vol_bf
 
 
 def sweep_first_hit(
@@ -214,63 +250,34 @@ def sweep_first_hit(
 ):
     """First-hit trace of a full frame via the slab sweep.
 
-    Chooses the dominant view axis on the host (one compiled variant per
-    (axis, direction)); requires the eye outside the volume's slab range
-    along that axis (orbit cameras always satisfy this; callers should fall
-    back to trace_octree otherwise).
+    Three programs per frame (sweep+pack, warp setup, finish) plus one
+    isolated warp gather; all per-frame parameters ride in a single packed
+    scalar upload (per-argument transfers dominate on tunneled devices).
 
     Returns (hit bool[N], t f32[N], point f32[N,3], dirs f32[N,3]) with
     N = width*height, pixel order row-major from the top row.
     """
     f32 = jnp.float32
-    view = jnp.asarray(view, f32)
-    cam_pos = jnp.asarray(camera_pos, f32)
-    origin = jnp.asarray(grid_origin, f32)
-    vs = jnp.asarray(voxel_size, f32)
-
-    look = -np.asarray(view)[2, :3]  # forward in world space
-    axis_world = int(np.argmax(np.abs(look)))
-
-    # volume layout (S, A, B) per sweep axis, matching _AXIS_SELECTORS;
-    # memoized per (volume, axis) — the transpose is per-scene, not per-frame
-    key = (id(volume), axis_world)
-    vol = _LAYOUT_CACHE.get(key)
-    if vol is None:
-        vol_zyx = jnp.asarray(volume, f32)
-        if axis_world == 0:      # sweep X; A=Y, B=Z
-            vol = jnp.transpose(vol_zyx, (2, 1, 0))
-        elif axis_world == 1:    # sweep Y; A=X, B=Z
-            vol = jnp.transpose(vol_zyx, (1, 2, 0))
-        else:                    # sweep Z; A=X, B=Y
-            vol = jnp.transpose(vol_zyx, (0, 2, 1))  # (Z, X, Y)
-        vol = jax.block_until_ready(vol)
-        if len(_LAYOUT_CACHE) > 8:
-            _LAYOUT_CACHE.clear()
-        _LAYOUT_CACHE[key] = vol
-
-    cam_vox = (np.asarray(camera_pos, np.float64) - np.asarray(grid_origin, np.float64)) / float(voxel_size)
-    sel = _AXIS_SELECTORS[axis_world]
-    eye_s = float(cam_vox @ np.asarray(sel[0], np.float64))
-    eye_a = float(cam_vox @ np.asarray(sel[1], np.float64))
-    eye_b = float(cam_vox @ np.asarray(sel[2], np.float64))
-
-    # sweep from the slice NEAREST the eye: when the eye sits beyond the
-    # far end of the slab range the nearest slice is the last one.
-    flip = eye_s > vol.shape[0] / 2
-
-    packed, lin, behind, dirs, d_s_n = _sweep(
-        vol,
-        f32(eye_s), f32(eye_a), f32(eye_b),
-        cam_pos, view,
-        axis_world,
-        origin, vs,
-        f32(fov_deg), f32(aspect),
-        inter_h, inter_w,
-        width, height,
-        flip,
+    axis_world, flip, (S, A, B), eyes, window = _sweep_geometry(
+        volume, grid_origin, voxel_size, camera_pos, view
     )
-    w_val = _take(packed, lin)  # the isolated warp gather
-    return _finish_sweep(w_val, behind, dirs, d_s_n, cam_pos, f32(eye_s), vs)
+    vol_bf = _layout_volume(volume, axis_world, flip, S, A, B)
+    sp = vol_bf.shape[0]
+    scal = _frame_scalars(
+        *eyes[:3], eyes[3], *window, fov_deg, aspect, float(voxel_size), S,
+        np.asarray(grid_origin, np.float32), np.asarray(camera_pos, np.float32),
+        view,
+    )
+    packed = _sweep_all(
+        vol_bf, scal, sp // 32, S, A, B, inter_h, inter_w, bool(flip)
+    )
+    lin, behind, dirs, d_s_n = _warp_setup(
+        scal, axis_world, inter_h, inter_w, width, height
+    )
+    w_val = _take(packed, lin)
+    cam_pos = jnp.asarray(camera_pos, f32)
+    return _finish_sweep(w_val, behind, dirs, d_s_n, cam_pos, f32(eyes[0]),
+                         jnp.asarray(voxel_size, f32))
 
 
 @jax.jit
