@@ -275,9 +275,8 @@ def sweep_first_hit(
         scal, axis_world, inter_h, inter_w, width, height
     )
     w_val = _take(packed, lin)
-    cam_pos = jnp.asarray(camera_pos, f32)
-    return _finish_sweep(w_val, behind, dirs, d_s_n, cam_pos, f32(eyes[0]),
-                         jnp.asarray(voxel_size, f32))
+    hit, t, point, dirs = _finish_sweep(w_val, behind, dirs, d_s_n, scal)
+    return hit, t, point, dirs
 
 
 @jax.jit
@@ -291,7 +290,10 @@ def _take_rows(table, idx):
 
 
 @jax.jit
-def _finish_sweep(w_val, behind, dirs, d_s_n, cam_pos, eye_s, voxel_size):
+def _finish_sweep(w_val, behind, dirs, d_s_n, scal):
+    eye_s = scal[0]
+    voxel_size = scal[10]
+    cam_pos = scal[15:18]
     hit = (w_val >= 0.0) & ~behind
     z_f = jnp.maximum(w_val, 0.0)
     t_world = (z_f - eye_s) * voxel_size / d_s_n
@@ -396,10 +398,25 @@ def render_fast_frame(
     the precomputed gradient volume (documented divergence from the
     node-center normal).
     """
-    hit, t, point, dirs = sweep_first_hit(
-        volume, grid_origin, voxel_size, camera_pos, view,
-        fov_deg, aspect, width, height, inter_h=inter_h, inter_w=inter_w,
+    axis_world, flip, (S, A, B), eyes, window = _sweep_geometry(
+        volume, grid_origin, voxel_size, camera_pos, view
     )
+    vol_bf = _layout_volume(volume, axis_world, flip, S, A, B)
+    sp = vol_bf.shape[0]
+    scal = _frame_scalars(
+        *eyes[:3], eyes[3], *window, fov_deg, aspect, float(voxel_size), S,
+        np.asarray(grid_origin, np.float32), np.asarray(camera_pos, np.float32),
+        view, light_dir, base_color, ambient,
+    )
+    packed = _sweep_all(
+        vol_bf, scal, sp // 32, S, A, B, inter_h, inter_w, bool(flip)
+    )
+    lin, behind, dirs, d_s_n = _warp_setup(
+        scal, axis_world, inter_h, inter_w, width, height
+    )
+    w_val = _take(packed, lin)
+    hit, t, point, dirs = _finish_sweep(w_val, behind, dirs, d_s_n, scal)
+
     akey = (id(normal_volume), id(shadow_vol))
     attr = _LAYOUT_CACHE.get(akey)
     if attr is None:
@@ -410,17 +427,16 @@ def render_fast_frame(
             attr = jnp.concatenate([nv, jnp.zeros(nv.shape[:3] + (1,), nv.dtype)], -1)
         attr = jax.block_until_ready(attr)
         _LAYOUT_CACHE[akey] = attr
-    return _shade_fast(
-        hit, t, point, dirs, attr,
-        jnp.asarray(grid_origin, jnp.float32), jnp.asarray(voxel_size, jnp.float32),
-        jnp.asarray(light_dir, jnp.float32), jnp.asarray(base_color, jnp.float32),
-        jnp.asarray(ambient, jnp.float32), width, height, shadow_vol is not None,
-    )
+    lin4 = _attr_indices(point, dirs, scal, attr.shape[:3])
+    att = _take_rows(attr.reshape(-1, 4), lin4)
+    return _shade_from_attrs(hit, att, scal, width, height, shadow_vol is not None)
 
 
 @functools.partial(jax.jit, static_argnames=("dims_zyx",))
-def _attr_indices(point, dirs, grid_origin, voxel_size, dims_zyx):
+def _attr_indices(point, dirs, scal, dims_zyx):
     dz, dy, dx = dims_zyx
+    voxel_size = scal[10]
+    grid_origin = scal[12:15]
     p_in = point + dirs * (0.25 * voxel_size)
     v = ((p_in - grid_origin[None, :]) / voxel_size).astype(jnp.int32)
     vx = jnp.clip(v[:, 0], 0, dx - 1)
@@ -430,10 +446,10 @@ def _attr_indices(point, dirs, grid_origin, voxel_size, dims_zyx):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "has_shadow"))
-def _shade_from_attrs(
-    hit, att, light_dir, base_color, ambient,
-    width: int, height: int, has_shadow: bool,
-):
+def _shade_from_attrs(hit, att, scal, width: int, height: int, has_shadow: bool):
+    light_dir = scal[34:37]
+    base_color = scal[37:40]
+    ambient = scal[40:43]
     nrm = att[:, :3]
     l = light_dir / jnp.linalg.norm(light_dir)
     ndotl = jnp.maximum(0.0, -(nrm * l[None, :]).sum(-1))
@@ -443,16 +459,3 @@ def _shade_from_attrs(
     color = jnp.where(hit[:, None], color, 0.0)
     rgba = jnp.concatenate([color, jnp.ones((color.shape[0], 1), jnp.float32)], -1)
     return rgba.reshape(height, width, 4)
-
-
-def _shade_fast(
-    hit, t, point, dirs, attr_volume, grid_origin, voxel_size,
-    light_dir, base_color, ambient, width: int, height: int,
-    has_shadow: bool,
-):
-    """Lambert + shadow; the packed attribute gather runs isolated."""
-    lin = _attr_indices(point, dirs, grid_origin, voxel_size, attr_volume.shape[:3])
-    att = _take_rows(attr_volume.reshape(-1, 4), lin)
-    return _shade_from_attrs(
-        hit, att, light_dir, base_color, ambient, width, height, has_shadow
-    )
