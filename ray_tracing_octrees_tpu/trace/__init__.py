@@ -3,5 +3,23 @@ from ray_tracing_octrees_tpu.trace.octree_trace import (
     cull_pyramid,
     compact_visible_nodes,
 )
+from ray_tracing_octrees_tpu.trace.lbvh import build_lbvh, trace_lbvh
+from ray_tracing_octrees_tpu.trace.slab_sweep import (
+    sweep_first_hit,
+    shadow_volume,
+    render_fast_frame,
+)
+from ray_tracing_octrees_tpu.trace.raymarch import raymarch_volume, VolumeTextures
 
-__all__ = ["trace_octree", "cull_pyramid", "compact_visible_nodes"]
+__all__ = [
+    "trace_octree",
+    "cull_pyramid",
+    "compact_visible_nodes",
+    "build_lbvh",
+    "trace_lbvh",
+    "sweep_first_hit",
+    "shadow_volume",
+    "render_fast_frame",
+    "raymarch_volume",
+    "VolumeTextures",
+]
