@@ -159,6 +159,12 @@ class OctreeRayTracer:
             from ray_tracing_octrees_tpu.trace.slab_sweep import render_fast_frame
 
             self._ensure_fast()
+            if _eye_inside_volume(
+                self.grid_origin, float(self.voxel_size),
+                self._fast_vol.shape, camera.get_pos(),
+            ):
+                fast = False  # interior cameras use the exact tracer
+        if fast:
             return render_fast_frame(
                 self._fast_vol,
                 self._fast_normals,
@@ -192,3 +198,11 @@ class OctreeRayTracer:
             max_steps=rt.max_traversal_steps,
             shadows=shadows,
         )
+
+
+def _eye_inside_volume(grid_origin, voxel_size, dims_zyx, cam_pos) -> bool:
+    cam_vox = (np.asarray(cam_pos, np.float64) - np.asarray(grid_origin, np.float64)) / float(voxel_size)
+    dz, dy, dx = dims_zyx
+    return bool(
+        (0 <= cam_vox[0] <= dx) and (0 <= cam_vox[1] <= dy) and (0 <= cam_vox[2] <= dz)
+    )

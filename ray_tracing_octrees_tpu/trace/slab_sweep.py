@@ -192,6 +192,21 @@ def _sweep_geometry(volume, grid_origin, voxel_size, camera_pos, view):
     cam_vox = (
         np.asarray(camera_pos, np.float64) - np.asarray(grid_origin, np.float64)
     ) / float(voxel_size)
+    # The factorization needs the eye outside the slab range along the sweep
+    # axis; pick any axis that satisfies it (prefer the most view-aligned).
+    dz_, dy_, dx_ = volume.shape[:3]
+    exts = {0: dx_, 1: dy_, 2: dz_}
+    order = list(np.argsort(-np.abs(look)))
+    for ax in order:
+        e = float(cam_vox @ np.asarray(_AXIS_SELECTORS[int(ax)][0], np.float64))
+        if e < 0.0 or e > exts[int(ax)]:
+            axis_world = int(ax)
+            break
+    else:
+        raise ValueError(
+            "slab sweep requires the eye outside the volume along some axis; "
+            "use trace_octree for interior cameras"
+        )
     sel = _AXIS_SELECTORS[axis_world]
     eye_s = float(cam_vox @ np.asarray(sel[0], np.float64))
     eye_a = float(cam_vox @ np.asarray(sel[1], np.float64))
