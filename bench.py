@@ -86,7 +86,7 @@ def main() -> None:
     img = frame()
     jax.block_until_ready(img)
 
-    n_iters = 10
+    n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
         img = frame()
@@ -98,14 +98,17 @@ def main() -> None:
     mrays = rays / dt / 1e6
     baseline = 500.0
 
-    # exact-semantics tracer for reference (small frame, extrapolated rate)
+    # exact-semantics tracer for reference (small frame, extrapolated rate);
+    # skippable for tight time budgets
     exact_mrays = None
     try:
+        if os.environ.get("RTO_BENCH_SKIP_EXACT"):
+            raise RuntimeError("skipped")
         from ray_tracing_octrees_tpu.core.octree import build_pyramid
         from ray_tracing_octrees_tpu.models.octree_raytracer import render_octree_image
 
         pyr = build_pyramid(grid.occ)
-        sw, sh_ = 480, 270
+        sw, sh_ = 240, 136
         f = lambda: render_octree_image(
             pyr, grid.origin, grid.voxel_size,
             jnp.asarray(cam.get_pos(), jnp.float32),

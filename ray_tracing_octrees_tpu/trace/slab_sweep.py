@@ -360,16 +360,19 @@ def shadow_volume(volume, light_dir):
     l = np.asarray(light_dir, np.float64)
     l = l / np.linalg.norm(l)
     axis = int(np.argmax(np.abs(l)))
-    vol_zyx = jnp.asarray(volume, jnp.float32)
-    if axis == 0:
-        vol = jnp.transpose(vol_zyx, (2, 1, 0))       # (X, Y, Z)
-        inv = (2, 1, 0)
-    elif axis == 1:
-        vol = jnp.transpose(vol_zyx, (1, 2, 0))       # (Y, X, Z)
-        inv = (2, 0, 1)
-    else:
-        vol = jnp.transpose(vol_zyx, (0, 2, 1))       # (Z, X, Y)
-        inv = (0, 2, 1)
+    inv = {0: (2, 1, 0), 1: (2, 0, 1), 2: (0, 2, 1)}[axis]
+    ckey = (id(volume), "shadow", axis)
+    vol = _LAYOUT_CACHE.get(ckey)
+    if vol is None:
+        vol_zyx = jnp.asarray(volume, jnp.float32)
+        if axis == 0:
+            vol = jnp.transpose(vol_zyx, (2, 1, 0))       # (X, Y, Z)
+        elif axis == 1:
+            vol = jnp.transpose(vol_zyx, (1, 2, 0))       # (Y, X, Z)
+        else:
+            vol = jnp.transpose(vol_zyx, (0, 2, 1))       # (Z, X, Y)
+        vol = jax.block_until_ready(vol)
+        _LAYOUT_CACHE[ckey] = vol
     sel = _AXIS_SELECTORS[axis]
     l_s = float(l @ sel[0])
     l_a = float(l @ sel[1])
