@@ -7,9 +7,11 @@ from ray_tracing_octrees_tpu.models.extraction import (
     VoxelBlockRenderer,
 )
 from ray_tracing_octrees_tpu.models.octree_raytracer import OctreeRayTracer
+from ray_tracing_octrees_tpu.models.volume_raycaster import VolumeRaycastRenderer
 
 __all__ = [
     "MarchingCubesRenderer",
     "VoxelBlockRenderer",
     "OctreeRayTracer",
+    "VolumeRaycastRenderer",
 ]
