@@ -1,0 +1,64 @@
+"""Render one frame per pipeline to PNG — the headless demo.
+
+Usage: python examples/render_demo.py [outdir]
+Uses the Calgary scene when /root/reference/sceneCache.bin exists, else the
+sphere. Extraction modes render via the point-splat preview; ray modes
+render their native images.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(outdir: str = "examples/frames") -> None:
+    os.makedirs(outdir, exist_ok=True)
+    from ray_tracing_octrees_tpu.render.app import Application, RenderMode
+    from ray_tracing_octrees_tpu.render.image import write_png
+    from ray_tracing_octrees_tpu.config import EngineConfig
+
+    app = Application(config=EngineConfig()).setup()
+    app.camera.theta = 0.9
+    app.camera.phi = 0.8
+    app.camera.radius = 0.75 * app.camera.radius / 1.5  # 0.75x scene extent
+    app.camera.set_target(app.building_center)
+
+    W, H = 640, 360
+
+    # fast slab-sweep ray trace
+    img = app.raytracer.render(app.camera, W, H, W / H, fast=True, shadows=True)
+    write_png(os.path.join(outdir, "raytrace_fast.png"), np.asarray(img))
+    print("wrote raytrace_fast.png")
+
+    # exact octree ray trace at reduced size
+    img = app.raytracer.render(app.camera, 320, 180, W / H, shadows=False)
+    write_png(os.path.join(outdir, "raytrace_exact.png"), np.asarray(img))
+    print("wrote raytrace_exact.png")
+
+    # marching cubes preview
+    app.mode = RenderMode.MARCHING_CUBES
+    out = app.frame(W, H)
+    write_png(os.path.join(outdir, "marching_cubes.png"), out["color"])
+    print(f"wrote marching_cubes.png ({out['mesh']['count']} tris)")
+
+    # blocks preview
+    app.mode = RenderMode.BLOCKS
+    app._cached_mesh = None
+    out = app.frame(W, H)
+    write_png(os.path.join(outdir, "blocks.png"), out["color"])
+    print(f"wrote blocks.png ({out['mesh']['count']} tris)")
+
+    # volume raymarch (smaller: the faithful shader port is heavyweight)
+    app.mode = RenderMode.VOLUME_RAYCAST
+    out = app.frame(256, 144)
+    write_png(os.path.join(outdir, "volume_raycast.png"), out["color"])
+    print("wrote volume_raycast.png")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "examples/frames")
