@@ -146,7 +146,8 @@ def generate_rays(width: int, height: int, cam_pos, view, fov_deg, aspect):
     ).reshape(-1, 3)
     d_view = d_view / jnp.linalg.norm(d_view, axis=-1, keepdims=True)
     inv_view = jnp.linalg.inv(jnp.asarray(view, jnp.float32))
-    d_world = d_view @ inv_view[:3, :3].T
+    d_world = jnp.matmul(d_view, inv_view[:3, :3].T,
+                         precision=jax.lax.Precision.HIGHEST)
     d_world = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
     origins = jnp.broadcast_to(
         jnp.asarray(cam_pos, jnp.float32)[None, :], d_world.shape

@@ -355,9 +355,13 @@ def raymarch_volume(
         clip = jnp.concatenate(
             [ndc, jnp.ones(ndc.shape[:-1] + (2,), f32)], -1
         )
-        view = clip @ inv_proj.T
+        # full f32 precision: the homogeneous w of clip @ invProj^T is a
+        # catastrophic cancellation (~2*near/far); the TPU's default bf16
+        # matmul rounds it to exactly zero -> NaN rays
+        hp = jax.lax.Precision.HIGHEST
+        view = jnp.matmul(clip, inv_proj.T, precision=hp)
         view = view / view[..., 3:4]
-        world = view @ inv_view.T
+        world = jnp.matmul(view, inv_view.T, precision=hp)
         d = world[..., :3] - cam_pos
         return world[..., :3], d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
@@ -704,4 +708,9 @@ def raymarch_volume(
         depth=s["edge_depth"].reshape(height, width),
         normal=s["edge_normal"].reshape(height, width, 3),
         alpha=accum_alpha.reshape(height, width),
+        steps=s["steps_taken"].reshape(height, width),
+        iters=s["i"],
+        t_final=s["T"].reshape(height, width),
+        t_near=t_near.reshape(height, width),
+        t_far=t_far.reshape(height, width),
     )

@@ -147,7 +147,8 @@ def _warp_setup(scal, axis_world: int, inter_h: int, inter_w: int,
     nxg, nyg = jnp.meshgrid(nx, ny, indexing="xy")
     d_view = jnp.stack([nxg, nyg, -jnp.ones_like(nxg)], -1)
     inv_view = jnp.linalg.inv(view)
-    d_world = d_view.reshape(-1, 3) @ inv_view[:3, :3].T
+    d_world = jnp.matmul(d_view.reshape(-1, 3), inv_view[:3, :3].T,
+                         precision=jax.lax.Precision.HIGHEST)
 
     sel = _AXIS_SELECTORS[axis_world]
     d_s = d_world @ jnp.asarray(sel[0], f32)
