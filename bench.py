@@ -101,7 +101,7 @@ def main() -> None:
     jax.block_until_ready(img)
     _log("frame compiled")
 
-    n_iters = 5
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         img = frame()

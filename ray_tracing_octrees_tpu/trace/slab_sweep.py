@@ -318,38 +318,65 @@ def _finish_sweep(w_val, behind, dirs, d_s_n, scal):
     return hit, t_world, point, dirs
 
 
-@functools.partial(jax.jit, static_argnames=("flip",))
-def _shadow_sweep(vol, da, db, flip: bool):
-    """Cumulative occlusion along a direction via translate-only shears.
+@functools.partial(
+    jax.jit,
+    static_argnames=("flip", "pa_lo", "pa_hi", "pb_lo", "pb_hi", "inv"),
+)
+def _shadow_sweep(vol, da, db, flip: bool, pa_lo: int, pa_hi: int,
+                  pb_lo: int, pb_hi: int, inv):
+    """Cumulative occlusion along a direction, fully batched for the MXU.
 
-    vol: f32[S, A, B]; per-slice fractional shift (da, db) in voxels (the
-    light direction's slope). Returns occluded f32[S, A, B]: 1 where some
-    solid voxel lies between the cell and the light. Orthographic, so the
-    shift matrices are the same for every step — one matmul pair per slice.
+    vol: f32[S, A, B]; (da, db) is the light slope in voxels per sweep step.
+    A blocker at (j, a, b) occludes (m, a - (m-j)*da, b - (m-j)*db) for all
+    m later in the sweep. Because the shift per step is constant
+    (orthographic light), the sequential shift-and-accumulate factors into
+    three batched ops: shear every slice into a common "light space" frame
+    (one einsum pair, slice j translated by +j*(da, db)), an exclusive
+    cumulative sum along the sweep axis, and an unshear back (second einsum
+    pair). No sequential scan — S slices in 4 MXU batched matmuls.
+
+    Returns occluded f32 transposed by ``inv`` back to the grid's native
+    (Z, Y, X) order: ~1 where some solid voxel lies toward the light.
     """
     f32 = jnp.float32
+    bf16 = jnp.bfloat16
     S, A, B = vol.shape
-    ma = _hat_matrix(jnp.arange(A, dtype=f32) + da, A)  # translate by -da
-    mb = _hat_matrix(jnp.arange(B, dtype=f32) + db, B)
+    OA = A + pa_lo + pa_hi
+    OB = B + pb_lo + pb_hi
+    vols = vol[::-1] if flip else vol  # vols[m] = slice at sweep step m
+    m = jnp.arange(S, dtype=f32)
 
-    ks = jnp.arange(S)
+    # shear: sheared[m][o] = vols[m] sampled at (o - pa_lo - m*da), so a
+    # volume coordinate a lands at o = a + pa_lo + m*da (common frame).
+    oa = jnp.arange(OA, dtype=f32)[None, :] - f32(pa_lo) - m[:, None] * da
+    ob = jnp.arange(OB, dtype=f32)[None, :] - f32(pb_lo) - m[:, None] * db
+    ia = jnp.arange(A, dtype=f32)
+    ib = jnp.arange(B, dtype=f32)
+    ma = jnp.maximum(0.0, 1.0 - jnp.abs(oa[..., None] - ia)).astype(bf16)
+    mb = jnp.maximum(0.0, 1.0 - jnp.abs(ob[..., None] - ib)).astype(bf16)
+    sh = jnp.einsum("soa,sab->sob", ma, vols.astype(bf16),
+                    preferred_element_type=f32)
+    sh = jnp.einsum("sob,spb->sop", sh.astype(bf16), mb,
+                    preferred_element_type=f32)
+
+    # occlusion strictly before step m in light space
+    cum = jnp.cumsum(sh, axis=0) - sh
+    occ = jnp.minimum(cum, 1.0)
+
+    # unshear: occl[m][a] = occ[m] sampled at (a + pa_lo + m*da)
+    ua = jnp.arange(A, dtype=f32)[None, :] + f32(pa_lo) + m[:, None] * da
+    ub = jnp.arange(B, dtype=f32)[None, :] + f32(pb_lo) + m[:, None] * db
+    io = jnp.arange(OA, dtype=f32)
+    ip = jnp.arange(OB, dtype=f32)
+    wa = jnp.maximum(0.0, 1.0 - jnp.abs(ua[..., None] - io)).astype(bf16)
+    wb = jnp.maximum(0.0, 1.0 - jnp.abs(ub[..., None] - ip)).astype(bf16)
+    out = jnp.einsum("sao,sop->sap", wa, occ.astype(bf16),
+                     preferred_element_type=f32)
+    out = jnp.einsum("sap,sbp->sab", out.astype(bf16), wb,
+                     preferred_element_type=f32)
     if flip:
-        ks = ks[::-1]
-
-    def body(accum, k):
-        sl = jax.lax.dynamic_index_in_dim(vol, k, 0, keepdims=False)
-        occluded = jnp.minimum(accum, 1.0)
-        accum = (
-            ma.astype(jnp.bfloat16)
-            @ (accum + sl).astype(jnp.bfloat16)
-            @ mb.T.astype(jnp.bfloat16)
-        ).astype(f32)
-        return accum, (k, occluded)
-
-    _, (order, occl) = jax.lax.scan(body, jnp.zeros((A, B), f32), ks)
-    out = jnp.zeros_like(vol)
-    out = out.at[order].set(occl)
-    return out
+        out = out[::-1]
+    return jnp.transpose(out, inv)
 
 
 def shadow_volume(volume, light_dir):
@@ -387,8 +414,15 @@ def shadow_volume(volume, light_dir):
     # (l_a/l_s, l_b/l_s) * step_s; the resample offset is its negation.
     da = -(l_a / l_s) * step_s
     db = -(l_b / l_s) * step_s
-    occl = _shadow_sweep(vol, jnp.float32(da), jnp.float32(db), bool(flip))
-    return jnp.transpose(occl, inv)
+    S = int(vol.shape[0])
+    pa_lo = int(math.ceil(max(0.0, -(S - 1) * da)))
+    pa_hi = int(math.ceil(max(0.0, (S - 1) * da)))
+    pb_lo = int(math.ceil(max(0.0, -(S - 1) * db)))
+    pb_hi = int(math.ceil(max(0.0, (S - 1) * db)))
+    return _shadow_sweep(
+        vol, jnp.float32(da), jnp.float32(db), bool(flip),
+        pa_lo, pa_hi, pb_lo, pb_hi, inv,
+    )
 
 
 def render_fast_frame(
@@ -408,6 +442,7 @@ def render_fast_frame(
     ambient=(0.1, 0.1, 0.1),
     inter_h: int = 1024,
     inter_w: int = 1024,
+    fused: bool = True,
 ):
     """Slab-sweep frame with Lambert + shadow shading.
 
@@ -416,6 +451,12 @@ def render_fast_frame(
     MXU sweep, shadow term from the per-frame shadow volume, normals from
     the precomputed gradient volume (documented divergence from the
     node-center normal).
+
+    ``fused=True`` runs the whole frame as ONE program (plus the scalar
+    upload); on tunneled devices per-dispatch latency dominates, so fewer
+    dispatches beat isolated-gather scheduling. ``fused=False`` keeps every
+    gather in its own minimal program. No host synchronization either way,
+    so back-to-back frames pipeline.
     """
     axis_world, flip, (S, A, B), eyes, window = _sweep_geometry(
         volume, grid_origin, voxel_size, camera_pos, view
@@ -427,6 +468,26 @@ def render_fast_frame(
         np.asarray(grid_origin, np.float32), np.asarray(camera_pos, np.float32),
         view, light_dir, base_color, ambient,
     )
+    dims_zyx = tuple(int(d) for d in normal_volume.shape[:3])
+
+    nkey = (id(normal_volume), "nrm_flat")
+    nrm_flat = _LAYOUT_CACHE.get(nkey)
+    if nrm_flat is None:
+        nrm_flat = jax.block_until_ready(jnp.asarray(normal_volume).reshape(-1, 3))
+        _LAYOUT_CACHE[nkey] = nrm_flat
+    has_shadow = shadow_vol is not None
+    sh_flat = (
+        jnp.reshape(shadow_vol, (-1,)) if has_shadow
+        else jnp.zeros((1,), jnp.float32)
+    )
+
+    if fused:
+        return _frame_fused(
+            vol_bf, nrm_flat, sh_flat, scal, sp // 32, S, A, B,
+            inter_h, inter_w, bool(flip), axis_world, width, height,
+            dims_zyx, has_shadow,
+        )
+
     packed = _sweep_all(
         vol_bf, scal, sp // 32, S, A, B, inter_h, inter_w, bool(flip)
     )
@@ -434,25 +495,38 @@ def render_fast_frame(
         scal, axis_world, inter_h, inter_w, width, height
     )
     w_val = _take(packed, lin)
-    hit, t, point, dirs = _finish_sweep(w_val, behind, dirs, d_s_n, scal)
+    hit, lin4 = _finish_attr(w_val, behind, dirs, d_s_n, scal, dims_zyx)
+    nrm, sh = _gather_attrs(nrm_flat, sh_flat, lin4, has_shadow)
+    return _shade_core(hit, nrm, sh, scal, width, height, has_shadow)
 
-    akey = (id(normal_volume), id(shadow_vol))
-    attr = _LAYOUT_CACHE.get(akey)
-    if attr is None:
-        nv = jnp.asarray(normal_volume)
-        if shadow_vol is not None:
-            attr = jnp.concatenate([nv, jnp.asarray(shadow_vol)[..., None]], axis=-1)
-        else:
-            attr = jnp.concatenate([nv, jnp.zeros(nv.shape[:3] + (1,), nv.dtype)], -1)
-        attr = jax.block_until_ready(attr)
-        _LAYOUT_CACHE[akey] = attr
-    lin4 = _attr_indices(point, dirs, scal, attr.shape[:3])
-    att = _take_rows(attr.reshape(-1, 4), lin4)
-    return _shade_from_attrs(hit, att, scal, width, height, shadow_vol is not None)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
+                     "inter_w", "flip", "axis_world", "width", "height",
+                     "dims_zyx", "has_shadow"),
+)
+def _frame_fused(vol_bf, nrm_flat, sh_flat, scal, n_chunks, s_valid, a_size,
+                 b_size, inter_h, inter_w, flip, axis_world, width, height,
+                 dims_zyx, has_shadow):
+    """The whole frame in one XLA program (sweep, warp, gathers, shading)."""
+    packed = _sweep_all(
+        vol_bf, scal, n_chunks, s_valid, a_size, b_size, inter_h, inter_w, flip
+    )
+    lin, behind, dirs, d_s_n = _warp_setup(
+        scal, axis_world, inter_h, inter_w, width, height
+    )
+    w_val = jnp.take(packed, lin)
+    hit, lin4 = _finish_attr(w_val, behind, dirs, d_s_n, scal, dims_zyx)
+    nrm = jnp.take(nrm_flat, lin4, axis=0)
+    sh = jnp.take(sh_flat, lin4) if has_shadow else jnp.zeros_like(w_val)
+    return _shade_core(hit, nrm, sh, scal, width, height, has_shadow)
 
 
 @functools.partial(jax.jit, static_argnames=("dims_zyx",))
-def _attr_indices(point, dirs, scal, dims_zyx):
+def _finish_attr(w_val, behind, dirs, d_s_n, scal, dims_zyx):
+    """Hit mask + flat attribute-volume index per pixel (pure math)."""
+    hit, t_world, point, dirs = _finish_sweep(w_val, behind, dirs, d_s_n, scal)
     dz, dy, dx = dims_zyx
     voxel_size = scal[10]
     grid_origin = scal[12:15]
@@ -461,20 +535,27 @@ def _attr_indices(point, dirs, scal, dims_zyx):
     vx = jnp.clip(v[:, 0], 0, dx - 1)
     vy = jnp.clip(v[:, 1], 0, dy - 1)
     vz = jnp.clip(v[:, 2], 0, dz - 1)
-    return (vz * dy + vy) * dx + vx
+    return hit, (vz * dy + vy) * dx + vx
+
+
+@functools.partial(jax.jit, static_argnames=("has_shadow",))
+def _gather_attrs(nrm_flat, sh_flat, lin4, has_shadow: bool):
+    nrm = jnp.take(nrm_flat, lin4, axis=0)
+    sh = (jnp.take(sh_flat, lin4) if has_shadow
+          else jnp.zeros(lin4.shape, jnp.float32))
+    return nrm, sh
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "has_shadow"))
-def _shade_from_attrs(hit, att, scal, width: int, height: int, has_shadow: bool):
+def _shade_core(hit, nrm, sh, scal, width: int, height: int, has_shadow: bool):
     light_dir = scal[34:37]
     base_color = scal[37:40]
     ambient = scal[40:43]
-    nrm = att[:, :3]
     l = light_dir / jnp.linalg.norm(light_dir)
     ndotl = jnp.maximum(0.0, -(nrm * l[None, :]).sum(-1))
     color = base_color[None, :] * ndotl[:, None] + ambient[None, :]
     if has_shadow:
-        color = jnp.where((att[:, 3] > 0.5)[:, None], ambient[None, :], color)
+        color = jnp.where((sh > 0.5)[:, None], ambient[None, :], color)
     color = jnp.where(hit[:, None], color, 0.0)
     rgba = jnp.concatenate([color, jnp.ones((color.shape[0], 1), jnp.float32)], -1)
     return rgba.reshape(height, width, 4)
