@@ -61,17 +61,6 @@ def main() -> None:
 
     _log("scene loaded")
     vol = (jnp.asarray(grid.occ) > 0).astype(jnp.float32)
-    # central-difference surface normals (compile-light; the full Sobel
-    # precompute is exercised by the volume pipeline and its tests)
-    pad = jnp.pad(vol, 1)
-    gx = pad[1:-1, 1:-1, :-2] - pad[1:-1, 1:-1, 2:]
-    gy = pad[1:-1, :-2, 1:-1] - pad[1:-1, 2:, 1:-1]
-    gz = pad[:-2, 1:-1, 1:-1] - pad[2:, 1:-1, 1:-1]
-    g = jnp.stack([gx, gy, gz], -1)
-    gm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    normals = jnp.where(gm > 1e-3, g / jnp.maximum(gm, 1e-30), 0.0)
-    normals = jax.block_until_ready(normals)
-    _log("normals ready")
 
     width, height = 1920, 1080
     aspect = width / height
@@ -92,7 +81,7 @@ def main() -> None:
     def frame():
         sv = shadow_volume(vol, to_light)  # per-frame shadow sweep
         return render_fast_frame(
-            vol, normals, sv, grid.origin, grid.voxel_size,
+            vol, sv, grid.origin, grid.voxel_size,
             cam.get_pos(), cam.get_view(), 45.0, aspect, width, height,
             light_dir=light_dir,
         )

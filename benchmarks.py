@@ -193,7 +193,6 @@ def config5():
     from ray_tracing_octrees_tpu.core.grid import (
         make_sphere_grid, recenter_filled_voxels, building_center,
     )
-    from ray_tracing_octrees_tpu.ops.precompute import sobel_gradient
     from ray_tracing_octrees_tpu.trace.slab_sweep import (
         render_fast_frame, shadow_volume,
     )
@@ -207,9 +206,6 @@ def config5():
         g = make_sphere_grid(128)
         scene = "sphere128"
     vol = (jnp.asarray(g.occ) > 0).astype(jnp.float32)
-    grad = sobel_gradient(vol, jnp.zeros_like(vol))
-    gm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
-    normals = jnp.where(gm > 1e-3, grad / jnp.maximum(gm, 1e-30), 0.0)
     to_light = (0.5, 0.9, 0.4)
     light = tuple(-c for c in to_light)
     sv = shadow_volume(vol, to_light)
@@ -225,7 +221,7 @@ def config5():
         cam = Camera(theta=0.8 + 0.05 * i, phi=0.5 + 0.4 * i, radius=0.8 * extent)
         cam.set_target(np.asarray(building_center(g)))
         f = lambda: render_fast_frame(
-            vol, normals, sv, g.origin, g.voxel_size,
+            vol, sv, g.origin, g.voxel_size,
             cam.get_pos(), cam.get_view(), 45.0, W / H, W, H,
             light_dir=light,
         )

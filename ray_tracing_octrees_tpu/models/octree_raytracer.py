@@ -94,8 +94,9 @@ class OctreeRayTracer:
 
     Two execution paths: the exact wavefront traversal (reference
     semantics) and, via ``render(..., fast=True)``, the MXU slab-sweep
-    tracer with gradient normals and a per-frame directional shadow
-    volume (see trace/slab_sweep.py for documented divergences).
+    tracer with the reference's voxel-center normals and a per-frame
+    directional shadow volume (see trace/slab_sweep.py for documented
+    divergences).
     """
 
     config: EngineConfig = DEFAULT_CONFIG
@@ -104,7 +105,6 @@ class OctreeRayTracer:
     grid_origin: Optional[jax.Array] = None
     voxel_size: Optional[jax.Array] = None
     _fast_vol: Optional[jax.Array] = None
-    _fast_normals: Optional[jax.Array] = None
     _fast_shadow: Optional[jax.Array] = None
 
     def set_octree(self, grid: VoxelGrid, pyramid: Optional[OccupancyPyramid] = None):
@@ -114,20 +114,13 @@ class OctreeRayTracer:
         self.grid_origin = grid.origin
         self.voxel_size = grid.voxel_size
         self._fast_vol = None
-        self._fast_normals = None
         self._fast_shadow = None
 
     def _ensure_fast(self):
         if self._fast_vol is None:
-            from ray_tracing_octrees_tpu.ops.precompute import sobel_gradient
             from ray_tracing_octrees_tpu.trace.slab_sweep import shadow_volume
 
             self._fast_vol = (self.pyramid.code_levels[0] > 0).astype(jnp.float32)
-            g = sobel_gradient(self._fast_vol, jnp.zeros_like(self._fast_vol))
-            gm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-            self._fast_normals = jnp.where(
-                gm > 1e-3, g / jnp.maximum(gm, 1e-30), 0.0
-            )
             # the reference Lambert light (-1,-1,-1) means the light sits at
             # +1,+1,+1; occlusion is swept toward it
             l = -jnp.asarray(self.config.raytrace.light_dir, jnp.float32)
@@ -167,7 +160,6 @@ class OctreeRayTracer:
         if fast:
             return render_fast_frame(
                 self._fast_vol,
-                self._fast_normals,
                 self._fast_shadow if shadows else None,
                 self.grid_origin,
                 self.voxel_size,

@@ -21,10 +21,14 @@ Shadows come from a once-per-frame *orthographic* sweep along the light
 direction (translate-only shears accumulating occlusion), so "primary +
 shadow" costs one volume sweep + one cheap gather, not a second trace.
 
-Divergence from the reference kernel (documented): surface normals are
-taken from the precomputed Sobel gradient volume rather than
-normalize(p - leafCenter); the exact reference semantics remain available
-in :mod:`ray_tracing_octrees_tpu.trace.octree_trace`.
+Surface normals use the reference's own formula normalize(p - cellCenter)
+(RayTracerBVH.cpp:283-287) at voxel granularity — pure per-pixel math.
+Divergence from the reference kernel (documented): hits are
+slice-quantized along the sweep axis and bilinear within slices, where
+the exact tracer (:mod:`ray_tracing_octrees_tpu.trace.octree_trace`)
+resolves the true leaf-box entry point; and the reference's uniform-node
+cells can be larger than one voxel, so normals there use the larger cell
+center.
 """
 
 from __future__ import annotations
@@ -78,10 +82,16 @@ _SCAL_N = 43
                      "inter_h", "inter_w", "flip"),
 )
 def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
-               b_size: int, inter_h: int, inter_w: int, flip: bool):
+               b_size: int, inter_h: int, inter_w: int, flip: bool,
+               shadow_sw=None):
     """hats + chunked MXU first-hit loop + packing, one program.
 
-    Returns the packed (hit ? slice_center : -1) field, flattened.
+    Returns the packed (hit ? slice_center : -1) field, flattened. When
+    ``shadow_sw`` (the shadow volume in the same sweep layout) is given,
+    it is resampled alongside occupancy and its value AT the first hit is
+    packed into the same float: value = k + 0.5 + 2048 * shadowed_bit —
+    one downstream warp gather recovers depth and shadow together, so the
+    frame needs no per-pixel attribute gathers at all.
     """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -104,25 +114,42 @@ def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
     mb_all = jnp.maximum(0.0, 1.0 - jnp.abs(pb_all[..., None] - 0.5 - ib)).astype(bf16)
 
     big_o = f32(sp + 1)
+    has_sh = shadow_sw is not None
+    ci_iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 1, 1), 0)
 
-    def chunk(ci, first_o):
+    def chunk(ci, carry):
+        first_o, sh_first = carry
         ma = jax.lax.dynamic_slice_in_dim(ma_all, ci * CH, CH, 0)
         mb = jax.lax.dynamic_slice_in_dim(mb_all, ci * CH, CH, 0)
         sl = jax.lax.dynamic_slice_in_dim(vol_bf, ci * CH, CH, 0)
         hb = jnp.einsum("cha,cab->chb", ma, sl, preferred_element_type=bf16)
         sh = jnp.einsum("chb,cwb->chw", hb, mb, preferred_element_type=bf16)
         hits = sh > 0.5
+        am = jnp.argmax(hits, axis=0)
         cand = jnp.where(
-            hits.any(axis=0),
-            (ci * CH + jnp.argmax(hits, axis=0)).astype(f32),
-            big_o,
+            hits.any(axis=0), (ci * CH + am).astype(f32), big_o,
         )
-        return jnp.minimum(first_o, cand)
+        upd = cand < first_o
+        if has_sh:
+            ssl = jax.lax.dynamic_slice_in_dim(shadow_sw, ci * CH, CH, 0)
+            hbs = jnp.einsum("cha,cab->chb", ma, ssl, preferred_element_type=bf16)
+            shs = jnp.einsum("chb,cwb->chw", hbs, mb, preferred_element_type=bf16)
+            sel = (ci_iota == am[None]).astype(bf16)
+            sh_at = (shs * sel).sum(axis=0).astype(f32)
+            sh_first = jnp.where(upd, sh_at, sh_first)
+        return jnp.where(upd, cand, first_o), sh_first
 
-    first_o = jax.lax.fori_loop(0, n_chunks, chunk, jnp.full((inter_h, inter_w), big_o))
+    first_o, sh_first = jax.lax.fori_loop(
+        0, n_chunks, chunk,
+        (jnp.full((inter_h, inter_w), big_o),
+         jnp.zeros((inter_h, inter_w), f32)),
+    )
     hit_i = first_o < f32(s_valid)
     k_first = (f32(s_valid) - 1.0 - first_o) if flip else first_o
-    return jnp.where(hit_i, k_first + 0.5, -1.0).reshape(-1)
+    packed = k_first + 0.5
+    if has_sh:
+        packed = packed + jnp.where(sh_first > 0.5, 2048.0, 0.0)
+    return jnp.where(hit_i, packed, -1.0).reshape(-1)
 
 
 @functools.partial(
@@ -427,7 +454,6 @@ def shadow_volume(volume, light_dir):
 
 def render_fast_frame(
     volume,          # f32[Z, Y, X]
-    normal_volume,   # f32[Z, Y, X, 3] (Sobel normals, precomputed per scene)
     shadow_vol,      # f32[Z, Y, X] from shadow_volume(), or None
     grid_origin,
     voxel_size,
@@ -448,15 +474,16 @@ def render_fast_frame(
 
     The fast-path equivalent of render_octree_image (the shade() of
     RayTracerBVH.cpp:331-336 with shadowing): primary visibility from the
-    MXU sweep, shadow term from the per-frame shadow volume, normals from
-    the precomputed gradient volume (documented divergence from the
-    node-center normal).
+    MXU sweep, normals analytic ``normalize(p - voxelCenter)`` exactly as
+    RayTracerBVH.cpp:283-287 (at voxel granularity), shadow term carried
+    through the sweep as a packed channel. The whole frame performs ONE
+    per-pixel gather (the final warp) — per-pixel attribute gathers are the
+    dominant device cost on TPU (~8 ns/element), so visibility, depth, and
+    shadowing all ride the packed sweep value instead.
 
-    ``fused=True`` runs the whole frame as ONE program (plus the scalar
-    upload); on tunneled devices per-dispatch latency dominates, so fewer
-    dispatches beat isolated-gather scheduling. ``fused=False`` keeps every
-    gather in its own minimal program. No host synchronization either way,
-    so back-to-back frames pipeline.
+    ``fused=True`` runs the frame as a single XLA program; ``fused=False``
+    keeps each stage its own program (useful for stage timing). No host
+    synchronization either way, so back-to-back frames pipeline.
     """
     axis_world, flip, (S, A, B), eyes, window = _sweep_geometry(
         volume, grid_origin, voxel_size, camera_pos, view
@@ -468,94 +495,118 @@ def render_fast_frame(
         np.asarray(grid_origin, np.float32), np.asarray(camera_pos, np.float32),
         view, light_dir, base_color, ambient,
     )
-    dims_zyx = tuple(int(d) for d in normal_volume.shape[:3])
-
-    nkey = (id(normal_volume), "nrm_flat")
-    nrm_flat = _LAYOUT_CACHE.get(nkey)
-    if nrm_flat is None:
-        nrm_flat = jax.block_until_ready(jnp.asarray(normal_volume).reshape(-1, 3))
-        _LAYOUT_CACHE[nkey] = nrm_flat
     has_shadow = shadow_vol is not None
-    sh_flat = (
-        jnp.reshape(shadow_vol, (-1,)) if has_shadow
-        else jnp.zeros((1,), jnp.float32)
-    )
+    sh_arg = shadow_vol if has_shadow else jnp.zeros((1, 1, 1), jnp.float32)
 
     if fused:
         return _frame_fused(
-            vol_bf, nrm_flat, sh_flat, scal, sp // 32, S, A, B,
+            vol_bf, sh_arg, scal, sp // 32, S, A, B,
             inter_h, inter_w, bool(flip), axis_world, width, height,
-            dims_zyx, has_shadow,
+            has_shadow,
         )
 
+    shv = _shadow_relayout(sh_arg, axis_world, bool(flip), sp, A, B) \
+        if has_shadow else None
     packed = _sweep_all(
-        vol_bf, scal, sp // 32, S, A, B, inter_h, inter_w, bool(flip)
+        vol_bf, scal, sp // 32, S, A, B, inter_h, inter_w, bool(flip),
+        shadow_sw=shv,
     )
     lin, behind, dirs, d_s_n = _warp_setup(
         scal, axis_world, inter_h, inter_w, width, height
     )
     w_val = _take(packed, lin)
-    hit, lin4 = _finish_attr(w_val, behind, dirs, d_s_n, scal, dims_zyx)
-    nrm, sh = _gather_attrs(nrm_flat, sh_flat, lin4, has_shadow)
-    return _shade_core(hit, nrm, sh, scal, width, height, has_shadow)
+    return _finish_shade(w_val, behind, dirs, d_s_n, scal, width, height,
+                         has_shadow)
+
+
+def _relayout_sweep(sh, axis_world: int, flip: bool, sp: int, a_size: int,
+                    b_size: int):
+    """(Z, Y, X) -> padded bf16 sweep order; traceable (used in-jit)."""
+    if axis_world == 0:
+        shv = jnp.transpose(sh, (2, 1, 0))
+    elif axis_world == 1:
+        shv = jnp.transpose(sh, (1, 2, 0))
+    else:
+        shv = jnp.transpose(sh, (0, 2, 1))
+    if flip:
+        shv = shv[::-1]
+    pad = sp - shv.shape[0]
+    if pad:
+        shv = jnp.concatenate(
+            [shv, jnp.zeros((pad, a_size, b_size), shv.dtype)], 0)
+    return shv.astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis_world", "flip", "sp", "a_size", "b_size"))
+def _shadow_relayout(sh, axis_world: int, flip: bool, sp: int, a_size: int,
+                     b_size: int):
+    return _relayout_sweep(sh, axis_world, flip, sp, a_size, b_size)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
                      "inter_w", "flip", "axis_world", "width", "height",
-                     "dims_zyx", "has_shadow"),
+                     "has_shadow"),
 )
-def _frame_fused(vol_bf, nrm_flat, sh_flat, scal, n_chunks, s_valid, a_size,
+def _frame_fused(vol_bf, shadow_native, scal, n_chunks, s_valid, a_size,
                  b_size, inter_h, inter_w, flip, axis_world, width, height,
-                 dims_zyx, has_shadow):
-    """The whole frame in one XLA program (sweep, warp, gathers, shading)."""
+                 has_shadow):
+    """The whole frame in one XLA program (sweep, warp, one gather, shade)."""
+    shv = _relayout_sweep(shadow_native, axis_world, flip,
+                          vol_bf.shape[0], a_size, b_size) \
+        if has_shadow else None
     packed = _sweep_all(
-        vol_bf, scal, n_chunks, s_valid, a_size, b_size, inter_h, inter_w, flip
+        vol_bf, scal, n_chunks, s_valid, a_size, b_size, inter_h, inter_w,
+        flip, shadow_sw=shv,
     )
     lin, behind, dirs, d_s_n = _warp_setup(
         scal, axis_world, inter_h, inter_w, width, height
     )
     w_val = jnp.take(packed, lin)
-    hit, lin4 = _finish_attr(w_val, behind, dirs, d_s_n, scal, dims_zyx)
-    nrm = jnp.take(nrm_flat, lin4, axis=0)
-    sh = jnp.take(sh_flat, lin4) if has_shadow else jnp.zeros_like(w_val)
-    return _shade_core(hit, nrm, sh, scal, width, height, has_shadow)
-
-
-@functools.partial(jax.jit, static_argnames=("dims_zyx",))
-def _finish_attr(w_val, behind, dirs, d_s_n, scal, dims_zyx):
-    """Hit mask + flat attribute-volume index per pixel (pure math)."""
-    hit, t_world, point, dirs = _finish_sweep(w_val, behind, dirs, d_s_n, scal)
-    dz, dy, dx = dims_zyx
-    voxel_size = scal[10]
-    grid_origin = scal[12:15]
-    p_in = point + dirs * (0.25 * voxel_size)
-    v = ((p_in - grid_origin[None, :]) / voxel_size).astype(jnp.int32)
-    vx = jnp.clip(v[:, 0], 0, dx - 1)
-    vy = jnp.clip(v[:, 1], 0, dy - 1)
-    vz = jnp.clip(v[:, 2], 0, dz - 1)
-    return hit, (vz * dy + vy) * dx + vx
-
-
-@functools.partial(jax.jit, static_argnames=("has_shadow",))
-def _gather_attrs(nrm_flat, sh_flat, lin4, has_shadow: bool):
-    nrm = jnp.take(nrm_flat, lin4, axis=0)
-    sh = (jnp.take(sh_flat, lin4) if has_shadow
-          else jnp.zeros(lin4.shape, jnp.float32))
-    return nrm, sh
+    return _finish_shade(w_val, behind, dirs, d_s_n, scal, width, height,
+                         has_shadow)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "has_shadow"))
-def _shade_core(hit, nrm, sh, scal, width: int, height: int, has_shadow: bool):
+def _finish_shade(w_val, behind, dirs, d_s_n, scal, width: int, height: int,
+                  has_shadow: bool):
+    """Unpack depth+shadow, reconstruct the hit point, Lambert-shade.
+
+    Normals are normalize(p - voxelCenter) (RayTracerBVH.cpp:283-287) —
+    pure per-pixel math, no volume gather.
+    """
+    f32 = jnp.float32
+    eye_s = scal[0]
+    voxel_size = scal[10]
+    grid_origin = scal[12:15]
+    cam_pos = scal[15:18]
     light_dir = scal[34:37]
     base_color = scal[37:40]
     ambient = scal[40:43]
+
+    hit = (w_val >= 0.0) & ~behind
+    sh_bit = w_val >= 2048.0
+    z_f = jnp.maximum(w_val - jnp.where(sh_bit, 2048.0, 0.0), 0.0)
+    t_world = (z_f - eye_s) * voxel_size / d_s_n
+    t_world = jnp.where(hit, t_world, 0.0)
+    point = cam_pos[None, :] + dirs * t_world[:, None]
+
+    p_in = point + dirs * (0.25 * voxel_size)
+    center = grid_origin[None, :] + (
+        jnp.floor((p_in - grid_origin[None, :]) / voxel_size) + 0.5
+    ) * voxel_size
+    nrm = point - center
+    nlen = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.maximum(nlen, 1e-12)
+
     l = light_dir / jnp.linalg.norm(light_dir)
     ndotl = jnp.maximum(0.0, -(nrm * l[None, :]).sum(-1))
     color = base_color[None, :] * ndotl[:, None] + ambient[None, :]
     if has_shadow:
-        color = jnp.where((sh > 0.5)[:, None], ambient[None, :], color)
+        color = jnp.where(sh_bit[:, None], ambient[None, :], color)
     color = jnp.where(hit[:, None], color, 0.0)
-    rgba = jnp.concatenate([color, jnp.ones((color.shape[0], 1), jnp.float32)], -1)
+    rgba = jnp.concatenate(
+        [color, jnp.ones((color.shape[0], 1), f32)], -1)
     return rgba.reshape(height, width, 4)

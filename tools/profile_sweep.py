@@ -1,8 +1,10 @@
 """Per-stage timing of the fast-frame pipeline on the live backend.
 
 Usage: python tools/profile_sweep.py
-Prints ms per stage (median of N) so optimization effort goes where the
-time is. Mirrors bench.py's configuration exactly.
+Reports pipelined ms/stage (20 back-to-back enqueues, one block — on
+tunneled devices a blocking call pays ~25ms round-trip latency, so
+pipelined loops are the only honest device-time measurement) plus the
+fused-vs-split full frame. Mirrors bench.py's configuration.
 """
 
 from __future__ import annotations
@@ -25,33 +27,23 @@ from ray_tracing_octrees_tpu.trace import slab_sweep as ss
 from ray_tracing_octrees_tpu.render.camera import Camera
 
 
-def timeit(name, fn, n=5):
+def pipelined(name, fn, n=20):
     out = fn()
     jax.block_until_ready(out)
-    ts = []
+    t0 = time.perf_counter()
     for _ in range(n):
-        t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) * 1e3)
-    print(f"{name:24s} {np.median(ts):8.2f} ms   (min {min(ts):.2f})", flush=True)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n * 1e3
+    print(f"{name:36s} {dt:8.2f} ms", flush=True)
     return out
 
 
 def main():
     p = "/root/reference/sceneCache.bin"
-    grid = recenter_filled_voxels(load_voxel_grid(p)) if os.path.exists(p) else None
-    if grid is None:
-        grid = make_sphere_grid(256)
+    grid = recenter_filled_voxels(load_voxel_grid(p)) if os.path.exists(p) \
+        else make_sphere_grid(256)
     vol = (jnp.asarray(grid.occ) > 0).astype(jnp.float32)
-    pad = jnp.pad(vol, 1)
-    g = jnp.stack([
-        pad[1:-1, 1:-1, :-2] - pad[1:-1, 1:-1, 2:],
-        pad[1:-1, :-2, 1:-1] - pad[1:-1, 2:, 1:-1],
-        pad[:-2, 1:-1, 1:-1] - pad[2:, 1:-1, 1:-1],
-    ], -1)
-    gm = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    normals = jax.block_until_ready(jnp.where(gm > 1e-3, g / jnp.maximum(gm, 1e-30), 0.0))
 
     width, height = 1920, 1080
     aspect = width / height
@@ -66,37 +58,40 @@ def main():
     print(f"sweep axis={axis_world} flip={flip} S={S} A={A} B={B}", flush=True)
     vol_bf = ss._layout_volume(vol, axis_world, flip, S, A, B)
     sp = vol_bf.shape[0]
-    scal = ss._frame_scalars(
+    scal = jax.block_until_ready(jnp.asarray(np.asarray(ss._frame_scalars(
         *eyes[:3], eyes[3], *window, 45.0, aspect, float(grid.voxel_size), S,
-        np.asarray(grid.origin, np.float32), np.asarray(cam.get_pos(), np.float32),
-        cam.get_view(), light_dir, (1.0, 0.8, 0.6), (0.1, 0.1, 0.1))
+        np.asarray(grid.origin, np.float32),
+        np.asarray(cam.get_pos(), np.float32),
+        cam.get_view(), light_dir, (1.0, 0.8, 0.6), (0.1, 0.1, 0.1)))))
     ih = iw = 1024
 
-    timeit("upload scal", lambda: jnp.asarray(np.asarray(scal)))
-    packed = timeit("sweep_all", lambda: ss._sweep_all(
-        vol_bf, scal, sp // 32, S, A, B, ih, iw, bool(flip)))
-    w = timeit("warp_setup", lambda: ss._warp_setup(
+    sv = pipelined("shadow_volume", lambda: ss.shadow_volume(vol, to_light))
+    sv = jax.block_until_ready(sv)
+    shv = jax.block_until_ready(
+        ss._shadow_relayout(sv, axis_world, bool(flip), sp, A, B))
+    packed = pipelined("sweep_all (occ+shadow ch)", lambda: ss._sweep_all(
+        vol_bf, scal, sp // 32, S, A, B, ih, iw, bool(flip), shadow_sw=shv))
+    packed = jax.block_until_ready(packed)
+    w = ss._warp_setup(scal, axis_world, ih, iw, width, height)
+    lin, behind, dirs, d_s_n = [jax.block_until_ready(x) for x in w]
+    pipelined("warp_setup", lambda: ss._warp_setup(
         scal, axis_world, ih, iw, width, height))
-    lin, behind, dirs, d_s_n = w
-    w_val = timeit("take(warp gather)", lambda: ss._take(packed, lin))
-    fin = timeit("finish_sweep", lambda: ss._finish_sweep(w_val, behind, dirs, d_s_n, scal))
-    hit, t, point, dirs2 = fin
+    w_val = pipelined("take (final warp, 2M<-1M)",
+                      lambda: ss._take(packed, lin))
+    w_val = jax.block_until_ready(w_val)
+    pipelined("finish_shade", lambda: ss._finish_shade(
+        w_val, behind, dirs, d_s_n, scal, width, height, True))
 
-    sv = timeit("shadow_volume", lambda: ss.shadow_volume(vol, to_light))
-    attr = jnp.concatenate([normals, jnp.asarray(sv)[..., None]], -1)
-    attr = jax.block_until_ready(attr)
-    lin4 = timeit("attr_indices", lambda: ss._attr_indices(point, dirs2, scal, attr.shape[:3]))
-    att = timeit("take_rows(attr)", lambda: ss._take_rows(attr.reshape(-1, 4), lin4))
-    timeit("shade", lambda: ss._shade_from_attrs(hit, att, scal, width, height, True))
-
-    def frame():
-        sv = ss.shadow_volume(vol, to_light)
-        return ss.render_fast_frame(
-            vol, normals, sv, grid.origin, grid.voxel_size,
-            cam.get_pos(), cam.get_view(), 45.0, aspect, width, height,
-            light_dir=light_dir)
-    timeit("FULL frame", frame)
-    print("backend:", jax.default_backend(), flush=True)
+    for fused in (True, False):
+        def frame():
+            svv = ss.shadow_volume(vol, to_light)
+            return ss.render_fast_frame(
+                vol, svv, grid.origin, grid.voxel_size,
+                cam.get_pos(), cam.get_view(), 45.0, aspect, width, height,
+                light_dir=light_dir, fused=fused)
+        img = pipelined(f"FULL frame (fused={fused})", frame)
+    lit = float((np.asarray(img)[..., :3].max(-1) > 0).mean())
+    print(f"lit={lit:.3f}  backend: {jax.default_backend()}", flush=True)
 
 
 if __name__ == "__main__":
