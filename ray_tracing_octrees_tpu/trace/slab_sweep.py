@@ -328,11 +328,6 @@ def _take(table, idx):
 
 
 @jax.jit
-def _take_rows(table, idx):
-    return jnp.take(table, idx, axis=0)
-
-
-@jax.jit
 def _finish_sweep(w_val, behind, dirs, d_s_n, scal):
     eye_s = scal[0]
     voxel_size = scal[10]
