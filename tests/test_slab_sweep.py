@@ -40,6 +40,66 @@ def test_sweep_agrees_with_octree_tracer(pose):
     assert diff.max() < 8.0 / 32
 
 
+def test_fast_frame_packed_shadow_matches_volume():
+    """The shadow bit carried through the sweep (packed +2048 channel) must
+    agree with looking the shadow volume up at each hit voxel."""
+    from ray_tracing_octrees_tpu.trace.slab_sweep import render_fast_frame
+
+    g = make_sphere_grid(32)
+    vol = (np.asarray(g.occ) > 0).astype(np.float32)
+    to_light = (0.5, 0.9, 0.4)
+    light_dir = tuple(-c for c in to_light)
+    sv = shadow_volume(vol, to_light)
+    cam = Camera(theta=0.7, phi=1.1, radius=2.0)
+    W = H = 64
+    img = np.asarray(render_fast_frame(
+        vol, sv, g.origin, g.voxel_size, cam.get_pos(), cam.get_view(),
+        45.0, 1.0, W, H, light_dir=light_dir, inter_h=256, inter_w=256,
+    ))
+    img_nosh = np.asarray(render_fast_frame(
+        vol, None, g.origin, g.voxel_size, cam.get_pos(), cam.get_view(),
+        45.0, 1.0, W, H, light_dir=light_dir, inter_h=256, inter_w=256,
+    ))
+    hit = img[..., 3] > 0
+    assert hit.any()
+    # same visibility with and without the shadow channel
+    assert np.array_equal(img[..., :3].max(-1) > 0, img_nosh[..., :3].max(-1) > 0)
+    # shadowed pixels are exactly the ones whose color dropped to ambient
+    shadowed = (np.abs(img[..., :3] - 0.1) < 1e-5).all(-1) & (
+        np.abs(img_nosh[..., :3] - 0.1) >= 1e-5
+    ).any(-1)
+    lit = ~shadowed
+    # cross-check against the shadow volume at the hit voxels via the
+    # independent exact tracer geometry
+    pyr = build_pyramid(g.occ)
+    o, d = generate_rays(
+        W, H, jnp.asarray(cam.get_pos(), jnp.float32),
+        jnp.asarray(cam.get_view(), jnp.float32), 45.0, 1.0,
+    )
+    ref = trace_octree(pyr, o, d, g.origin, g.voxel_size)
+    rh = np.asarray(ref["hit"]).reshape(H, W)
+    dn = np.asarray(d / jnp.linalg.norm(d, axis=-1, keepdims=True))
+    # same inward nudge as the fast path's voxel lookup
+    p = (np.asarray(ref["point"]) + dn * 0.25 * float(g.voxel_size)).reshape(H, W, 3)
+    v = np.floor((p - np.asarray(g.origin)) / float(g.voxel_size)).astype(int)
+    svn = np.asarray(sv)
+    both = rh & (img[..., :3].max(-1) > 0)
+    zi = np.clip(v[..., 2], 0, svn.shape[0] - 1)
+    yi = np.clip(v[..., 1], 0, svn.shape[1] - 1)
+    xi = np.clip(v[..., 0], 0, svn.shape[2] - 1)
+    sval = svn[zi, yi, xi]
+    # compare only clear-cut voxels: near the shadow terminator the fast
+    # path thresholds a bilinearly interpolated value while this check
+    # thresholds the voxel's own value, so they legitimately differ there
+    clear = both & ((sval < 0.2) | (sval > 0.8))
+    assert clear.sum() > 100
+    # residual disagreements come from the two paths resolving slightly
+    # different hit voxels on grazing rays (slice-quantized vs exact); a
+    # broken bit encoding would score ~0.5 or systematically invert
+    agree = ((sval > 0.5) == shadowed)[clear]
+    assert agree.mean() > 0.9
+
+
 def test_shadow_volume_directional():
     occ = np.zeros((16, 16, 16), np.uint8)
     occ[8, 8, 8] = 1  # single blocker
