@@ -1,9 +1,10 @@
 """MXU slab-sweep first-hit tracer (perspective shear-warp factorization).
 
 The performance kernel behind the ray-trace benchmark. Per-ray traversal
-loops cannot feed the TPU (dynamic gathers inside loops run ~1000x below
-vector rate — see SURVEY §7 hard-part #3); instead the viewing transform is
-factored exactly a la Lacroute-Levoy:
+loops cannot feed the TPU (XLA gathers cost ~8 ns/element — scalar-unit
+rate — so a gather-per-step traversal runs orders of magnitude below
+vector rate; see SURVEY §7 hard-part #3); instead the viewing transform
+is factored exactly a la Lacroute-Levoy:
 
   view = warp_2d  o  per-slice scale+translate
 
