@@ -159,7 +159,16 @@ def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
 )
 def _warp_setup(scal, axis_world: int, inter_h: int, inter_w: int,
                 width: int, height: int):
-    """Per-pixel warp indices into the sheared buffer + ray geometry."""
+    """Per-pixel warp indices into the sheared buffer + ray geometry.
+
+    ``lin`` is -1 for pixels that cannot hit: rays pointing away from the
+    reference plane (t_ref <= 0) or whose reference-plane intersection
+    falls outside the table window. The window contains the volume's full
+    projection at both slab extremes (see _sweep_geometry), and a ray's
+    window coordinate is monotone along the slab, so out-of-window rays
+    provably miss — clipping them to the edge texel (as a plain clamped
+    gather would) could alias a different ray's hit.
+    """
     f32 = jnp.float32
     eye_s, eye_a, eye_b, z0 = scal[0], scal[1], scal[2], scal[3]
     a_min, a_max, b_min, b_max = scal[4], scal[5], scal[6], scal[7]
@@ -190,18 +199,19 @@ def _warp_setup(scal, axis_world: int, inter_h: int, inter_w: int,
 
     uu = (a_ref - a_min) / (a_max - a_min) * inter_h
     vv = (b_ref - b_min) / (b_max - b_min) * inter_w
+    oow = (uu < 0) | (uu >= inter_h) | (vv < 0) | (vv >= inter_w)
     iu = jnp.clip(uu.astype(jnp.int32), 0, inter_h - 1)
     iv = jnp.clip(vv.astype(jnp.int32), 0, inter_w - 1)
-    lin = iu * inter_w + iv
+    lin = jnp.where(behind | oow, -1, iu * inter_w + iv)
     d_len = jnp.linalg.norm(d_world, axis=-1)
     dirs = d_world / d_len[:, None]
     d_s_n = d_s / d_len
     return lin, behind, dirs, d_s_n
 
 
-def _frame_scalars(eye_s, eye_a, eye_b, z0, a_min, a_max, b_min, b_max,
-                   fov_deg, aspect, voxel_size, s_valid, origin, cam_pos,
-                   view, light_dir=(0, 0, 0), base=(0, 0, 0), amb=(0, 0, 0)):
+def _frame_scalars_np(eye_s, eye_a, eye_b, z0, a_min, a_max, b_min, b_max,
+                      fov_deg, aspect, voxel_size, s_valid, origin, cam_pos,
+                      view, light_dir=(0, 0, 0), base=(0, 0, 0), amb=(0, 0, 0)):
     scal = np.zeros(_SCAL_N, np.float32)
     scal[0:8] = (eye_s, eye_a, eye_b, z0, a_min, a_max, b_min, b_max)
     scal[8:12] = (fov_deg, aspect, voxel_size, s_valid)
@@ -211,7 +221,51 @@ def _frame_scalars(eye_s, eye_a, eye_b, z0, a_min, a_max, b_min, b_max,
     scal[34:37] = light_dir
     scal[37:40] = base
     scal[40:43] = amb
-    return jnp.asarray(scal)
+    return scal
+
+
+def _frame_scalars(*args, **kwargs):
+    return jnp.asarray(_frame_scalars_np(*args, **kwargs))
+
+
+def _plan_warp_cfg(scal_np, axis_world: int, inter_h: int, inter_w: int,
+                   width: int, height: int):
+    """Pick the Pallas warp kernel config for this frame (host-side).
+
+    Returns a (ty, tx, win) tuple, or None to use the XLA gather fallback
+    (pathological cameras whose per-tile u-range exceeds every window).
+    """
+    from ray_tracing_octrees_tpu.trace.warp_kernel import plan_warp
+
+    if jax.default_backend() != "tpu":
+        return None   # CPU/interpret: XLA gather is the fast path there
+    if inter_w != 1024:
+        return None   # the kernel's >>10 index decode assumes 1024 columns
+    return plan_warp(scal_np, _AXIS_SELECTORS, axis_world,
+                     inter_h, inter_w, width, height)
+
+
+def _warp_values(packed, lin, inter_h: int, inter_w: int,
+                 width: int, height: int, warp_cfg):
+    """Per-pixel table lookup: Pallas one-hot MXU warp or XLA gather.
+
+    Both paths return -1.0 for lin == -1 (cannot-hit pixels).
+    """
+    if warp_cfg is None:
+        w = jnp.take(packed, jnp.maximum(lin, 0))
+        return jnp.where(lin < 0, -1.0, w)
+    from ray_tracing_octrees_tpu.trace.warp_kernel import (
+        split_hi_lo, warp_lookup,
+    )
+
+    ty, tx, win = warp_cfg
+    t_hl = split_hi_lo(packed.reshape(inter_h, inter_w))
+    lin2 = lin.reshape(height, width)
+    ph, pw = (-height) % ty, (-width) % tx
+    if ph or pw:
+        lin2 = jnp.pad(lin2, ((0, ph), (0, pw)), constant_values=-1)
+    out = warp_lookup(t_hl, lin2, ty, tx, win)
+    return out[:height, :width].reshape(-1)
 
 
 def _sweep_geometry(volume, grid_origin, voxel_size, camera_pos, view):
@@ -307,20 +361,40 @@ def sweep_first_hit(
     )
     vol_bf = _layout_volume(volume, axis_world, flip, S, A, B)
     sp = vol_bf.shape[0]
-    scal = _frame_scalars(
+    scal_np = _frame_scalars_np(
         *eyes[:3], eyes[3], *window, fov_deg, aspect, float(voxel_size), S,
         np.asarray(grid_origin, np.float32), np.asarray(camera_pos, np.float32),
         view,
     )
+    scal = jnp.asarray(scal_np)
+    warp_cfg = _plan_warp_cfg(scal_np, axis_world, inter_h, inter_w,
+                              width, height)
+    hit, t, point, dirs = _sweep_first_hit_jit(
+        vol_bf, scal, sp // 32, S, A, B, inter_h, inter_w, bool(flip),
+        axis_world, width, height, warp_cfg,
+    )
+    return hit, t, point, dirs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
+                     "inter_w", "flip", "axis_world", "width", "height",
+                     "warp_cfg"),
+)
+def _sweep_first_hit_jit(vol_bf, scal, n_chunks, s_valid, a_size, b_size,
+                         inter_h, inter_w, flip, axis_world, width, height,
+                         warp_cfg):
     packed = _sweep_all(
-        vol_bf, scal, sp // 32, S, A, B, inter_h, inter_w, bool(flip)
+        vol_bf, scal, n_chunks, s_valid, a_size, b_size, inter_h, inter_w,
+        flip,
     )
     lin, behind, dirs, d_s_n = _warp_setup(
         scal, axis_world, inter_h, inter_w, width, height
     )
-    w_val = _take(packed, lin)
-    hit, t, point, dirs = _finish_sweep(w_val, behind, dirs, d_s_n, scal)
-    return hit, t, point, dirs
+    w_val = _warp_values(packed, lin, inter_h, inter_w, width, height,
+                         warp_cfg)
+    return _finish_sweep(w_val, behind, dirs, d_s_n, scal)
 
 
 @jax.jit
@@ -486,11 +560,14 @@ def render_fast_frame(
     )
     vol_bf = _layout_volume(volume, axis_world, flip, S, A, B)
     sp = vol_bf.shape[0]
-    scal = _frame_scalars(
+    scal_np = _frame_scalars_np(
         *eyes[:3], eyes[3], *window, fov_deg, aspect, float(voxel_size), S,
         np.asarray(grid_origin, np.float32), np.asarray(camera_pos, np.float32),
         view, light_dir, base_color, ambient,
     )
+    scal = jnp.asarray(scal_np)
+    warp_cfg = _plan_warp_cfg(scal_np, axis_world, inter_h, inter_w,
+                              width, height)
     has_shadow = shadow_vol is not None
     sh_arg = shadow_vol if has_shadow else jnp.zeros((1, 1, 1), jnp.float32)
 
@@ -498,7 +575,7 @@ def render_fast_frame(
         return _frame_fused(
             vol_bf, sh_arg, scal, sp // 32, S, A, B,
             inter_h, inter_w, bool(flip), axis_world, width, height,
-            has_shadow,
+            has_shadow, warp_cfg,
         )
 
     shv = _shadow_relayout(sh_arg, axis_world, bool(flip), sp, A, B) \
@@ -510,7 +587,8 @@ def render_fast_frame(
     lin, behind, dirs, d_s_n = _warp_setup(
         scal, axis_world, inter_h, inter_w, width, height
     )
-    w_val = _take(packed, lin)
+    w_val = _warp_values(packed, lin, inter_h, inter_w, width, height,
+                         warp_cfg)
     return _finish_shade(w_val, behind, dirs, d_s_n, scal, width, height,
                          has_shadow)
 
@@ -544,12 +622,12 @@ def _shadow_relayout(sh, axis_world: int, flip: bool, sp: int, a_size: int,
     jax.jit,
     static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
                      "inter_w", "flip", "axis_world", "width", "height",
-                     "has_shadow"),
+                     "has_shadow", "warp_cfg"),
 )
 def _frame_fused(vol_bf, shadow_native, scal, n_chunks, s_valid, a_size,
                  b_size, inter_h, inter_w, flip, axis_world, width, height,
-                 has_shadow):
-    """The whole frame in one XLA program (sweep, warp, one gather, shade)."""
+                 has_shadow, warp_cfg=None):
+    """The whole frame in one XLA program (sweep, Pallas warp, shade)."""
     shv = _relayout_sweep(shadow_native, axis_world, flip,
                           vol_bf.shape[0], a_size, b_size) \
         if has_shadow else None
@@ -560,7 +638,8 @@ def _frame_fused(vol_bf, shadow_native, scal, n_chunks, s_valid, a_size,
     lin, behind, dirs, d_s_n = _warp_setup(
         scal, axis_world, inter_h, inter_w, width, height
     )
-    w_val = jnp.take(packed, lin)
+    w_val = _warp_values(packed, lin, inter_h, inter_w, width, height,
+                         warp_cfg)
     return _finish_shade(w_val, behind, dirs, d_s_n, scal, width, height,
                          has_shadow)
 

@@ -1,0 +1,213 @@
+"""One-hot MXU warp kernel (Pallas): exact per-pixel table lookup.
+
+The slab-sweep frame (:mod:`ray_tracing_octrees_tpu.trace.slab_sweep`)
+composites the volume into a packed [TH, TW] table in sheared reference-
+plane space, then needs ``out[y, x] = T[iu(y, x), iv(y, x)]`` — one value
+per screen pixel. That per-pixel 2-D lookup is the reference fragment
+shader's implicit texture fetch (453-skeleton/shaders/raycastFS.glsl:
+511-560 does it per fragment in hardware); on TPU an XLA gather runs at
+the scalar-unit rate (~8 ns/element, 16 ms for a 2 MP frame), so the
+lookup is reformulated as one-hot contractions that ride the MXU:
+
+    A[p, r] = sum_c (iv[p] == c) * T[umin + r, c]      (bf16 MXU matmul)
+    out[p]  = sum_r (iu[p] - umin == r) * A[p, r]       (VPU masked reduce)
+
+Per (ty, tx) pixel tile, the contraction runs only over the tile's active
+128-lane v-groups (``pl.when`` skips inactive ones) against a dynamic
+[win, 128] u-window of the table (Mosaic supports dynamic sublane ref
+slices; 8-aligned starts). One-hot weights are exact in bf16 and each
+pixel receives exactly one product, so the result is bit-identical to
+``jnp.take`` — verified by tests against the gather. f32 table values
+survive the bf16 matmul through an exact hi/lo split (every packed value
+k+0.5 [+2048 shadow bit] or -1 decomposes exactly into two bf16 terms).
+
+Window sizing: the per-tile u-range must fit ``win``. ``plan_warp``
+bounds it per frame on the host from the closed-form ray->table math
+(no device sync) and picks a kernel config, falling back to the XLA
+gather for pathological cameras (extreme zoom-out or near-degenerate
+sweep axes).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# (ty, tx, win) kernel configs, in preference order. Larger tiles = fewer
+# grid steps; win must cover the worst per-tile iu range + 7 alignment
+# slack. 1088x1920 divides both tile shapes.
+CONFIG_FAST = (32, 128, 128)
+CONFIG_WIDE = (16, 128, 256)
+
+
+def _warp_onehot_kernel(ty: int, tx: int, win: int, th: int, tw: int,
+                        t_ref, lin_ref, o_ref, a_scr):
+    """One (ty, tx) pixel tile: grouped one-hot contraction + u select."""
+    lin = lin_ref[:, :]
+    invalid = lin < 0
+    iu = jnp.where(invalid, th - 1, lin >> 10)
+    # invalid pixels park on the valid minimum so they never widen the
+    # active v-group range
+    iv0 = jnp.where(invalid, tw - 1, lin & (tw - 1))
+    iv = jnp.where(invalid, jnp.min(iv0), iv0)
+    umin = (jnp.clip(jnp.min(iu), 0, th - win) >> 3) << 3
+    umin = pl.multiple_of(umin, 8)
+    rel_u = jnp.clip(iu - umin, 0, win - 1)
+
+    gmin = jnp.min(iv) >> 7
+    gmax = jnp.max(iv) >> 7
+    P = ty * tx
+    civ0 = jax.lax.broadcasted_iota(jnp.int32, (ty, tx, 128), 2)
+
+    for g in range(tw // 128):
+        def body(first, g=g):
+            Vg = ((civ0 + g * 128) == iv[:, :, None]).astype(
+                jnp.bfloat16).reshape(P, 128)
+            th_ = t_ref[pl.ds(umin, win), g * 128:(g + 1) * 128]
+            tl_ = t_ref[pl.ds(th + umin, win), g * 128:(g + 1) * 128]
+            d = jax.lax.dot_general(
+                Vg, th_, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                Vg, tl_, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if first:
+                a_scr[:, :] = d
+            else:
+                a_scr[:, :] += d
+
+        @pl.when(g == gmin)
+        def _():
+            body(True)
+
+        @pl.when((g > gmin) & (g <= gmax))
+        def _():
+            body(False)
+
+    A3 = a_scr[:, :].reshape(ty, tx, win)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ty, tx, win), 2)
+    mask = (riota == rel_u[:, :, None]).astype(jnp.float32)
+    val = (A3 * mask).sum(axis=2)
+    o_ref[:, :] = jnp.where(invalid, -1.0, val)
+
+
+def split_hi_lo(table):
+    """Exact f32 -> (hi, lo) bf16 split, stacked on axis 0 ([2*TH, TW]).
+
+    Exact for the sweep's packed encoding: values are k+0.5 (k < 1024),
+    optionally +2048, or -1; hi = the value's top 16 float bits, lo = the
+    remainder, which always fits 8 significand bits.
+
+    hi is produced by integer mantissa truncation (bitcast + mask), NOT by
+    ``table.astype(bf16)``: under XLA's default allow-excess-precision
+    simplification, an f32->bf16->f32 convert pair feeding the subtract is
+    elided inside jit, silently turning lo into zero (observed on TPU:
+    every packed value needing >8 significand bits lost its .5). The
+    bitcast formulation is opaque to that rewrite and also exact.
+    """
+    bits = jax.lax.bitcast_convert_type(table, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (bits >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = (table - hi_f).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=0)
+
+
+def warp_lookup(t_hl, lin2d, ty: int, tx: int, win: int):
+    """out[y, x] = T[lin2d[y,x] >> 10, lin2d[y,x] & (TW-1)]; -1 where lin2d < 0.
+
+    t_hl: bf16[2*TH, TW] hi/lo split table (from :func:`split_hi_lo`).
+    lin2d: int32[H, W], H % ty == 0 and W % tx == 0 (pad with -1).
+    Traceable (call inside jit).
+    """
+    Hp, Wp = lin2d.shape
+    th2, tw = t_hl.shape
+    th = th2 // 2
+    if Hp % ty or Wp % tx:
+        raise ValueError(f"padded image {Hp}x{Wp} not divisible by tile ({ty},{tx})")
+    return pl.pallas_call(
+        functools.partial(_warp_onehot_kernel, ty, tx, win, th, tw),
+        grid=(Hp // ty, Wp // tx),
+        in_specs=[
+            pl.BlockSpec((th2, tw), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, tx), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ty, tx), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ty * tx, win), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        # CPU backend (tests, dryruns) runs the kernel interpreted
+        interpret=jax.default_backend() != "tpu",
+    )(t_hl, lin2d)
+
+
+def plan_warp(scal_np, axis_selectors, axis_world: int,
+              inter_h: int, inter_w: int, width: int, height: int,
+              step: int = 8) -> Optional[Tuple[int, int, int]]:
+    """Host-side per-frame kernel config choice (no device sync).
+
+    Evaluates the exact ray->table u coordinate on a ``step``-spaced pixel
+    grid (the same closed form _warp_setup computes on device), masks
+    pixels that cannot hit (behind eye or outside the table window), and
+    bounds the per-tile iu range for each candidate config. Returns a
+    (ty, tx, win) config or None (use the XLA gather fallback).
+
+    The coarse grid under-samples inside a tile; a 1.3x + alignment
+    safety factor covers the interpolation error of the smooth projective
+    field. Tiles whose masked range still exceeds the window clamp to the
+    nearest row — acceptable only for the pathological poses the plan
+    rejects anyway.
+    """
+    eye_s, eye_a, eye_b, z0 = (float(scal_np[i]) for i in range(4))
+    a_min, a_max, b_min, b_max = (float(scal_np[i]) for i in range(4, 8))
+    fov_deg, aspect, voxel_size = (float(scal_np[i]) for i in range(8, 11))
+    view = np.asarray(scal_np[18:34], np.float64).reshape(4, 4)
+    R = np.linalg.inv(view)[:3, :3]
+    sel = axis_selectors[axis_world]
+    tan_half = math.tan(math.radians(fov_deg) / 2.0)
+    xs = np.arange(0, width + step, step, dtype=np.float64)
+    ys = np.arange(0, height + step, step, dtype=np.float64)
+    nx = ((np.minimum(xs, width - 1) + 0.5) / width * 2.0 - 1.0) * aspect * tan_half
+    ny = (1.0 - (np.minimum(ys, height - 1) + 0.5) / height * 2.0) * tan_half
+    nxg, nyg = np.meshgrid(nx, ny, indexing="xy")
+    d = (nxg[..., None] * R[:, 0] + nyg[..., None] * R[:, 1] - R[:, 2])
+    d_s = d @ np.asarray(sel[0], np.float64)
+    d_a = d @ np.asarray(sel[1], np.float64)
+    d_b = d @ np.asarray(sel[2], np.float64)
+    denom = d_s / voxel_size
+    t_ref = (z0 - eye_s) / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+    a_ref = eye_a + d_a / voxel_size * t_ref
+    b_ref = eye_b + d_b / voxel_size * t_ref
+    uu = (a_ref - a_min) / (a_max - a_min) * inter_h
+    vv = (b_ref - b_min) / (b_max - b_min) * inter_w
+    valid = (t_ref > 0) & (uu >= 0) & (uu < inter_h) & (vv >= 0) & (vv < inter_w)
+    if not valid.any():
+        return CONFIG_FAST        # nothing can hit; any config works
+    iu = np.clip(uu, 0, inter_h - 1)
+    for ty, tx, win in (CONFIG_FAST, CONFIG_WIDE):
+        cy, cx = max(1, ty // step), max(1, tx // step)
+        gh, gw = iu.shape
+        ph, pw = (-gh) % cy, (-gw) % cx
+        iu_p = np.pad(iu, ((0, ph), (0, pw)), mode="edge")
+        va_p = np.pad(valid, ((0, ph), (0, pw)), mode="constant")
+        bm = np.where(va_p, iu_p, np.inf).reshape(
+            iu_p.shape[0] // cy, cy, iu_p.shape[1] // cx, cx)
+        bM = np.where(va_p, iu_p, -np.inf).reshape(bm.shape)
+        rng = np.maximum(0.0, bM.max(axis=(1, 3)) - bm.min(axis=(1, 3)))
+        worst = float(rng.max())
+        if worst * 1.3 + 8.0 < win:
+            return (ty, tx, win)
+    return None

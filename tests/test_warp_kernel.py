@@ -1,0 +1,100 @@
+"""One-hot MXU warp kernel: exactness vs the direct gather (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ray_tracing_octrees_tpu.trace.warp_kernel import (
+    CONFIG_FAST, CONFIG_WIDE, plan_warp, split_hi_lo, warp_lookup,
+)
+
+TH = TW = 1024
+
+
+def _mk_table(rng):
+    # the packed sweep encoding: k + 0.5, optionally +2048, or -1
+    k = rng.integers(0, 512, (TH, TW)).astype(np.float32)
+    sh = rng.integers(0, 2, (TH, TW)).astype(np.float32) * 2048.0
+    miss = rng.random((TH, TW)) < 0.3
+    return np.where(miss, -1.0, k + 0.5 + sh).astype(np.float32)
+
+
+def test_split_hi_lo_exact():
+    rng = np.random.default_rng(0)
+    t = _mk_table(rng)
+    hl = np.asarray(split_hi_lo(jnp.asarray(t)), np.float32)
+    assert (hl[:TH] + hl[TH:] == t).all()
+
+
+def test_split_hi_lo_exact_inside_jit():
+    # regression: XLA's allow-excess-precision pass elides f32->bf16->f32
+    # convert pairs inside jit, which zeroed the lo plane of a naive
+    # astype-based split; the bitcast split must survive compilation
+    rng = np.random.default_rng(3)
+    t = _mk_table(rng)
+
+    @jax.jit
+    def f(x):
+        return split_hi_lo(x * 1.0)   # force an in-program producer
+
+    hl = np.asarray(f(jnp.asarray(t)), np.float32)
+    assert (hl[:TH] + hl[TH:] == t).all()
+    assert (np.abs(hl[TH:]) > 0).any()   # lo plane is genuinely nonzero
+
+
+@pytest.mark.parametrize("ty,tx,win", [CONFIG_FAST, CONFIG_WIDE])
+def test_warp_matches_gather(ty, tx, win):
+    rng = np.random.default_rng(1)
+    t = _mk_table(rng)
+    H, W = 2 * ty, 2 * tx
+    yy = np.arange(H)[:, None]
+    xx = np.arange(W)[None, :]
+    iu = np.clip((yy * 0.9 + xx * 0.05 + 37).astype(np.int32), 0, TH - 1)
+    iv = np.clip((xx * 1.7 + yy * 0.2 + 101).astype(np.int32), 0, TW - 1)
+    lin = (iu * TW + iv).astype(np.int32)
+    lin[0, :5] = -1                       # invalid pixels
+    out = np.asarray(warp_lookup(
+        split_hi_lo(jnp.asarray(t)), jnp.asarray(lin), ty, tx, win))
+    ref = np.where(lin < 0, -1.0, t.reshape(-1)[np.maximum(lin, 0)])
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_warp_window_spanning_groups():
+    # iv values straddling several 128-lane groups within one tile
+    rng = np.random.default_rng(2)
+    t = _mk_table(rng)
+    ty, tx, win = CONFIG_WIDE
+    H, W = ty, tx
+    iu = rng.integers(100, 100 + win - 8, (H, W)).astype(np.int32)
+    iv = rng.integers(300, 800, (H, W)).astype(np.int32)
+    lin = (iu * TW + iv).astype(np.int32)
+    out = np.asarray(warp_lookup(
+        split_hi_lo(jnp.asarray(t)), jnp.asarray(lin), ty, tx, win))
+    ref = t.reshape(-1)[lin]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_plan_warp_typical_pose():
+    # straight-on view far from the volume: tiny per-tile ranges -> FAST
+    from ray_tracing_octrees_tpu.trace.slab_sweep import (
+        _AXIS_SELECTORS, _frame_scalars_np, _sweep_geometry,
+    )
+    from ray_tracing_octrees_tpu.core.grid import make_sphere_grid
+    from ray_tracing_octrees_tpu.render.camera import Camera
+
+    grid = make_sphere_grid(64)
+    vol = (np.asarray(grid.occ) > 0).astype(np.float32)
+    cam = Camera(theta=0.4, phi=0.7, radius=3.0)
+    aw, flip, (S, A, B), eyes, window = _sweep_geometry(
+        vol, grid.origin, grid.voxel_size, cam.get_pos(), cam.get_view())
+    scal = _frame_scalars_np(
+        *eyes[:3], eyes[3], *window, 45.0, 1.0, float(grid.voxel_size), S,
+        np.asarray(grid.origin, np.float32),
+        np.asarray(cam.get_pos(), np.float32), cam.get_view())
+    cfg = plan_warp(scal, _AXIS_SELECTORS, aw, 1024, 1024, 1920, 1088)
+    assert cfg in (CONFIG_FAST, CONFIG_WIDE)
+    # small frames against a 1024-wide table have steeper per-tile index
+    # gradients; the plan must reject rather than clamp
+    cfg_small = plan_warp(scal, _AXIS_SELECTORS, aw, 1024, 1024, 256, 256)
+    assert cfg_small in (CONFIG_FAST, CONFIG_WIDE, None)
