@@ -415,6 +415,56 @@ def _finish_sweep(w_val, behind, dirs, d_s_n, scal):
     return hit, t_world, point, dirs
 
 
+def _shadow_hats(S: int, A: int, B: int, da: float, db: float,
+                 pa_lo: int, pa_hi: int, pb_lo: int, pb_hi: int):
+    """Shear/unshear hat matrices for the shadow sweep (host, numpy).
+
+    Depend only on the light slope and the volume shape — camera-invariant
+    — so they are built once per (scene, light) and cached on device
+    rather than rebuilt inside every frame program (the [S, OA, A] builds
+    were ~40% of the per-frame shadow cost).
+    """
+    f32 = np.float32
+    OA = A + pa_lo + pa_hi
+    OB = B + pb_lo + pb_hi
+    m = np.arange(S, dtype=f32)
+    oa = np.arange(OA, dtype=f32)[None, :] - f32(pa_lo) - m[:, None] * f32(da)
+    ob = np.arange(OB, dtype=f32)[None, :] - f32(pb_lo) - m[:, None] * f32(db)
+    ia = np.arange(A, dtype=f32)
+    ib = np.arange(B, dtype=f32)
+    ma = np.maximum(0.0, 1.0 - np.abs(oa[..., None] - ia))
+    mb = np.maximum(0.0, 1.0 - np.abs(ob[..., None] - ib))
+    ua = np.arange(A, dtype=f32)[None, :] + f32(pa_lo) + m[:, None] * f32(da)
+    ub = np.arange(B, dtype=f32)[None, :] + f32(pb_lo) + m[:, None] * f32(db)
+    io = np.arange(OA, dtype=f32)
+    ip = np.arange(OB, dtype=f32)
+    wa = np.maximum(0.0, 1.0 - np.abs(ua[..., None] - io))
+    wb = np.maximum(0.0, 1.0 - np.abs(ub[..., None] - ip))
+    to_dev = lambda x: jnp.asarray(x.astype(np.float32)).astype(jnp.bfloat16)
+    return to_dev(ma), to_dev(mb), to_dev(wa), to_dev(wb)
+
+
+@functools.partial(jax.jit, static_argnames=("flip", "inv"))
+def _shadow_apply(vol, ma, mb, wa, wb, flip: bool, inv):
+    """Shadow sweep given precomputed hats: 4 batched einsums + cumsum."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    vols = vol[::-1] if flip else vol
+    sh = jnp.einsum("soa,sab->sob", ma, vols.astype(bf16),
+                    preferred_element_type=f32)
+    sh = jnp.einsum("sob,spb->sop", sh.astype(bf16), mb,
+                    preferred_element_type=f32)
+    cum = jnp.cumsum(sh, axis=0) - sh
+    occ = jnp.minimum(cum, 1.0)
+    out = jnp.einsum("sao,sop->sap", wa, occ.astype(bf16),
+                     preferred_element_type=f32)
+    out = jnp.einsum("sap,sbp->sab", out.astype(bf16), wb,
+                     preferred_element_type=f32)
+    if flip:
+        out = out[::-1]
+    return jnp.transpose(out, inv)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("flip", "pa_lo", "pa_hi", "pb_lo", "pb_hi", "inv"),
@@ -516,10 +566,15 @@ def shadow_volume(volume, light_dir):
     pa_hi = int(math.ceil(max(0.0, (S - 1) * da)))
     pb_lo = int(math.ceil(max(0.0, -(S - 1) * db)))
     pb_hi = int(math.ceil(max(0.0, (S - 1) * db)))
-    return _shadow_sweep(
-        vol, jnp.float32(da), jnp.float32(db), bool(flip),
-        pa_lo, pa_hi, pb_lo, pb_hi, inv,
-    )
+    A, B = int(vol.shape[1]), int(vol.shape[2])
+    hkey = ("shadow_hats", S, A, B, round(da, 6), round(db, 6),
+            pa_lo, pa_hi, pb_lo, pb_hi)
+    hats = _LAYOUT_CACHE.get(hkey)
+    if hats is None:
+        hats = jax.block_until_ready(
+            _shadow_hats(S, A, B, da, db, pa_lo, pa_hi, pb_lo, pb_hi))
+        _LAYOUT_CACHE[hkey] = hats
+    return _shadow_apply(vol, *hats, bool(flip), inv)
 
 
 def render_fast_frame(
