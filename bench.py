@@ -9,145 +9,12 @@ configuration (>= 500 Mrays/s/chip). The measured pipeline is the MXU
 slab-sweep tracer (perspective shear-warp factorization) shaded with the
 per-frame directional shadow volume; the exact gather-based octree tracer
 (reference semantics) is reported alongside as `exact_tracer_mrays`.
+
+Thin wrapper: the implementation lives in ray_tracing_octrees_tpu.bench
+(also runnable as ``python -m ray_tracing_octrees_tpu.bench --scene ...``).
 """
 
-from __future__ import annotations
-
-import json
-import os
-import sys
-import time
-
-import numpy as np
-
-T_START = time.time()
-
-
-def _log(msg):
-    print(f"[bench +{time.time() - T_START:.0f}s] {msg}", file=sys.stderr, flush=True)
-
-
-def find_scene() -> str:
-    for p in (
-        os.path.join(os.path.dirname(__file__), "sceneCache.bin"),
-        "/root/reference/sceneCache.bin",
-    ):
-        if os.path.exists(p):
-            return p
-    return ""
-
-
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
-    from ray_tracing_octrees_tpu.core.cache import load_voxel_grid
-    from ray_tracing_octrees_tpu.core.grid import (
-        make_sphere_grid,
-        recenter_filled_voxels,
-        building_center,
-    )
-    from ray_tracing_octrees_tpu.trace.slab_sweep import (
-        render_fast_frame,
-        shadow_volume,
-    )
-    from ray_tracing_octrees_tpu.render.camera import Camera
-
-    scene = find_scene()
-    if scene:
-        grid = recenter_filled_voxels(load_voxel_grid(scene))
-    else:
-        grid = make_sphere_grid(256)
-
-    _log("scene loaded")
-    vol = (jnp.asarray(grid.occ) > 0).astype(jnp.float32)
-
-    width, height = 1920, 1080
-    aspect = width / height
-
-    # City fly-over: high orbit looking down at the center (the classic
-    # Calgary view; the scene's vertical axis is world z).
-    extent = float(np.max(np.asarray(grid.world_max) - np.asarray(grid.world_min)))
-    cam = Camera(theta=0.9, phi=0.8, radius=0.75 * extent)
-    cam.set_target(np.asarray(building_center(grid)))
-
-    # raycastFS mainLightDir points TOWARD the light; the Lambert shader
-    # takes the away-from-light vector, the shadow sweep the toward vector.
-    to_light = (0.5, 0.9, 0.4)
-    light_dir = tuple(-c for c in to_light)
-    shadow = shadow_volume(vol, to_light)
-    jax.block_until_ready(shadow)
-
-    def frame():
-        sv = shadow_volume(vol, to_light)  # per-frame shadow sweep
-        return render_fast_frame(
-            vol, sv, grid.origin, grid.voxel_size,
-            cam.get_pos(), cam.get_view(), 45.0, aspect, width, height,
-            light_dir=light_dir,
-        )
-
-    img = frame()
-    jax.block_until_ready(img)
-    _log("frame compiled")
-
-    # Every timed frame uses a DISTINCT camera pose (tiny orbit steps; the
-    # compiled program is reused, only the packed scalars change) so no
-    # layer of the stack can serve a cached result.
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        cam.phi += 1e-4
-        img = frame()
-    jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / n_iters
-
-    hit_frac = float((np.asarray(img[..., :3]).max(axis=-1) > 0).mean())
-    rays = width * height * 2  # primary + shadow
-    mrays = rays / dt / 1e6
-    baseline = 500.0
-
-    # exact-semantics tracer for reference (small frame, extrapolated rate);
-    # skippable for tight time budgets
-    exact_mrays = None
-    try:
-        if os.environ.get("RTO_BENCH_SKIP_EXACT") or time.time() - T_START > 300:
-            raise RuntimeError("skipped")
-        from ray_tracing_octrees_tpu.core.octree import build_pyramid
-        from ray_tracing_octrees_tpu.models.octree_raytracer import render_octree_image
-
-        pyr = build_pyramid(grid.occ)
-        sw, sh_ = 240, 136
-        f = lambda: render_octree_image(
-            pyr, grid.origin, grid.voxel_size,
-            jnp.asarray(cam.get_pos(), jnp.float32),
-            jnp.asarray(cam.get_view(), jnp.float32),
-            sw, sh_, jnp.float32(45.0), jnp.float32(aspect), shadows=True,
-        )
-        out = f()
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = f()
-        jax.block_until_ready(out)
-        exact_mrays = round(sw * sh_ * 2 / (time.perf_counter() - t0) / 1e6, 3)
-    except Exception:
-        pass
-
-    print(
-        json.dumps(
-            {
-                "metric": "raytrace_calgary_1080p_primary+shadow",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / baseline, 4),
-                "frame_ms": round(dt * 1e3, 3),
-                "hit_fraction": round(hit_frac, 4),
-                "exact_tracer_mrays": exact_mrays,
-                "scene": os.path.basename(scene) if scene else "sphere256",
-                "backend": jax.default_backend(),
-            }
-        )
-    )
-
+from ray_tracing_octrees_tpu.bench import main
 
 if __name__ == "__main__":
-    main()
+    main([])

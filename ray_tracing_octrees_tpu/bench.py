@@ -1,0 +1,172 @@
+"""Headline benchmark as a package module: ``python -m ray_tracing_octrees_tpu.bench``.
+
+Ray-trace throughput on the Calgary scene (primary + shadow) via the MXU
+slab-sweep tracer. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+CLI surface (SURVEY §5 config row): ``--scene`` picks the scene cache file
+or ``sphere``; ``--config``/``--set`` apply EngineConfig file/overrides
+(e.g. ``--set voxel_size=5``); ``--width/--height/--iters`` shape the run.
+The repo-root ``bench.py`` (the driver's entry point) delegates here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+T_START = time.time()
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - T_START:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def find_scene(name: str = "sceneCache.bin") -> str:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in (os.path.join(here, name), os.path.join("/root/reference", name)):
+        if os.path.exists(p):
+            return p
+    return ""
+
+
+def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
+              iters: int = 20, skip_exact: bool = False,
+              time_budget_s: float = 300.0) -> dict:
+    """Run the headline benchmark; returns the result record (one dict)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ray_tracing_octrees_tpu.core.cache import load_voxel_grid
+    from ray_tracing_octrees_tpu.core.grid import (
+        make_sphere_grid,
+        recenter_filled_voxels,
+        building_center,
+    )
+    from ray_tracing_octrees_tpu.trace.slab_sweep import (
+        render_fast_frame,
+        shadow_volume,
+    )
+    from ray_tracing_octrees_tpu.render.camera import Camera
+
+    if scene == "sphere":
+        grid, scene = make_sphere_grid(256), ""
+    else:
+        scene = scene or find_scene()
+        grid = (recenter_filled_voxels(load_voxel_grid(scene)) if scene
+                else make_sphere_grid(256))
+
+    _log("scene loaded")
+    vol = (jnp.asarray(grid.occ) > 0).astype(jnp.float32)
+    aspect = width / height
+
+    # City fly-over: high orbit looking down at the center (the classic
+    # Calgary view; the scene's vertical axis is world z).
+    extent = float(np.max(np.asarray(grid.world_max) - np.asarray(grid.world_min)))
+    cam = Camera(theta=0.9, phi=0.8, radius=0.75 * extent)
+    cam.set_target(np.asarray(building_center(grid)))
+
+    # raycastFS mainLightDir points TOWARD the light; the Lambert shader
+    # takes the away-from-light vector, the shadow sweep the toward vector.
+    to_light = (0.5, 0.9, 0.4)
+    light_dir = tuple(-c for c in to_light)
+    shadow = shadow_volume(vol, to_light)
+    jax.block_until_ready(shadow)
+
+    def frame():
+        sv = shadow_volume(vol, to_light)  # per-frame shadow sweep
+        return render_fast_frame(
+            vol, sv, grid.origin, grid.voxel_size,
+            cam.get_pos(), cam.get_view(), 45.0, aspect, width, height,
+            light_dir=light_dir,
+        )
+
+    img = frame()
+    jax.block_until_ready(img)
+    _log("frame compiled")
+
+    # Every timed frame uses a DISTINCT camera pose (tiny orbit steps; the
+    # compiled program is reused, only the packed scalars change) so no
+    # layer of the stack can serve a cached result.
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cam.phi += 1e-4
+        img = frame()
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / iters
+
+    hit_frac = float((np.asarray(img[..., :3]).max(axis=-1) > 0).mean())
+    rays = width * height * 2  # primary + per-pixel shadow term
+    mrays = rays / dt / 1e6
+    baseline = 500.0
+
+    # exact-semantics tracer for reference (small frame, extrapolated rate);
+    # skippable for tight time budgets
+    exact_mrays = None
+    try:
+        if skip_exact or time.time() - T_START > time_budget_s:
+            raise RuntimeError("skipped")
+        from ray_tracing_octrees_tpu.core.octree import build_pyramid
+        from ray_tracing_octrees_tpu.models.octree_raytracer import render_octree_image
+
+        pyr = build_pyramid(grid.occ)
+        sw, sh_ = 240, 136
+        f = lambda: render_octree_image(
+            pyr, grid.origin, grid.voxel_size,
+            jnp.asarray(cam.get_pos(), jnp.float32),
+            jnp.asarray(cam.get_view(), jnp.float32),
+            sw, sh_, jnp.float32(45.0), jnp.float32(aspect), shadows=True,
+        )
+        out = f()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = f()
+        jax.block_until_ready(out)
+        exact_mrays = round(sw * sh_ * 2 / (time.perf_counter() - t0) / 1e6, 3)
+    except Exception:
+        pass
+
+    return {
+        "metric": "raytrace_calgary_1080p_primary+shadow",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / baseline, 4),
+        "frame_ms": round(dt * 1e3, 3),
+        "hit_fraction": round(hit_frac, 4),
+        "exact_tracer_mrays": exact_mrays,
+        "scene": os.path.basename(scene) if scene else "sphere256",
+        "backend": jax.default_backend(),
+    }
+
+
+def main(argv=None) -> None:
+    from ray_tracing_octrees_tpu.config import add_config_args, config_from_args
+
+    p = argparse.ArgumentParser(
+        prog="python -m ray_tracing_octrees_tpu.bench",
+        description=__doc__.splitlines()[0])
+    p.add_argument("--scene", default="",
+                   help="path to a sceneCache.bin, or 'sphere' (default: auto)")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--skip-exact", action="store_true",
+                   help="skip the exact-tracer reference section")
+    add_config_args(p)
+    args = p.parse_args(argv)
+    config_from_args(args)  # validates --config/--set
+    skip = args.skip_exact or bool(os.environ.get("RTO_BENCH_SKIP_EXACT"))
+    rec = run_bench(scene=args.scene, width=args.width, height=args.height,
+                    iters=args.iters, skip_exact=skip)
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

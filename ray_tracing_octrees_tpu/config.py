@@ -29,7 +29,8 @@ Reference provenance for defaults (file:line into /root/reference):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+import json
+from typing import Any, Iterable, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,3 +154,100 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+# --------------------------------------------------------------------------
+# File + CLI override surface (SURVEY §5: "CLI + file overridable").
+#
+# A config file is JSON (or TOML on 3.11+) whose structure mirrors the
+# dataclass nesting:  {"voxel_size": 5, "dc": {"qef": {"relaxation": 0.5}}}.
+# CLI overrides are dotted assignments:  dc.qef.relaxation=0.5
+# --------------------------------------------------------------------------
+
+
+def _from_dict(cls, data: dict):
+    """Recursively build a (frozen) config dataclass from a nested dict."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kw = {}
+    for key, val in data.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+        default = fields[key].default
+        if dataclasses.is_dataclass(default) and isinstance(val, dict):
+            kw[key] = _from_dict(type(default), val)
+        elif isinstance(default, tuple) and isinstance(val, (list, tuple)):
+            kw[key] = tuple(type(default[0])(v) for v in val)
+        else:
+            kw[key] = type(default)(val)
+    return cls(**kw)
+
+
+def config_from_dict(data: dict) -> EngineConfig:
+    return _from_dict(EngineConfig, data)
+
+
+def load_config(path: str) -> EngineConfig:
+    """Load an EngineConfig from a JSON or TOML file."""
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as f:
+            return config_from_dict(tomllib.load(f))
+    with open(path) as f:
+        return config_from_dict(json.load(f))
+
+
+def _coerce(old: Any, raw: str) -> Any:
+    if isinstance(old, bool):
+        if raw.lower() in ("1", "true", "yes", "on"):
+            return True
+        if raw.lower() in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"bad bool literal {raw!r}")
+    if isinstance(old, int):
+        return int(raw)
+    if isinstance(old, float):
+        return float(raw)
+    if isinstance(old, tuple):
+        parts = [p for p in raw.replace("(", "").replace(")", "").split(",") if p]
+        return tuple(type(old[0])(p) for p in parts)
+    return raw
+
+
+def apply_overrides(cfg: EngineConfig, assignments: Iterable[str]) -> EngineConfig:
+    """Apply dotted-path CLI overrides, e.g. ["dc.qef.relaxation=0.5"]."""
+    for item in assignments:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not of the form path=value")
+        path, raw = item.split("=", 1)
+        keys = path.strip().split(".")
+
+        def rebuild(node, keys):
+            key = keys[0]
+            if not hasattr(node, key):
+                raise KeyError(
+                    f"unknown config key {key!r} on {type(node).__name__}")
+            old = getattr(node, key)
+            if len(keys) == 1:
+                new = _coerce(old, raw.strip())
+            else:
+                new = rebuild(old, keys[1:])
+            return dataclasses.replace(node, **{key: new})
+
+        cfg = rebuild(cfg, keys)
+    return cfg
+
+
+def add_config_args(parser) -> None:
+    """Attach the standard --config / --set flags to an argparse parser."""
+    parser.add_argument("--config", default=None,
+                        help="JSON/TOML EngineConfig file")
+    parser.add_argument("--set", dest="overrides", action="append", default=[],
+                        metavar="PATH=VALUE",
+                        help="dotted config override, e.g. raymarch.max_steps=400")
+
+
+def config_from_args(args) -> EngineConfig:
+    cfg = load_config(args.config) if getattr(args, "config", None) \
+        else DEFAULT_CONFIG
+    return apply_overrides(cfg, getattr(args, "overrides", []) or [])

@@ -22,9 +22,17 @@ import numpy as np
 
 from ray_tracing_octrees_tpu.config import EngineConfig, DEFAULT_CONFIG
 from ray_tracing_octrees_tpu.core.grid import VoxelGrid
-from ray_tracing_octrees_tpu.core.octree import OccupancyPyramid, build_pyramid
+from ray_tracing_octrees_tpu.core.octree import (
+    LinearOctree,
+    OccupancyPyramid,
+    build_pyramid,
+)
 from ray_tracing_octrees_tpu.render.camera import Camera, generate_rays
-from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree, cull_pyramid
+from ray_tracing_octrees_tpu.trace.octree_trace import (
+    trace_octree,
+    cull_pyramid,
+    compact_visible_nodes,
+)
 
 
 def lambert_shade(normal, hit, light_dir, base_color, ambient):
@@ -104,15 +112,27 @@ class OctreeRayTracer:
     culled_pyramid: Optional[OccupancyPyramid] = None
     grid_origin: Optional[jax.Array] = None
     voxel_size: Optional[jax.Array] = None
+    linear_tree: Optional[LinearOctree] = None
+    visible_tree: Optional[LinearOctree] = None
+    visible_count: Optional[int] = None
     _fast_vol: Optional[jax.Array] = None
     _fast_shadow: Optional[jax.Array] = None
 
-    def set_octree(self, grid: VoxelGrid, pyramid: Optional[OccupancyPyramid] = None):
-        """setOctree (RayTracerBVH.cpp:430-505): bind the scene."""
+    def set_octree(self, grid: VoxelGrid, pyramid: Optional[OccupancyPyramid] = None,
+                   tree: Optional[LinearOctree] = None):
+        """setOctree (RayTracerBVH.cpp:430-505): bind the scene.
+
+        ``tree`` is the flat node buffer (the GPUNodes SSBO mirror); when
+        provided, ``update_frustum`` maintains its frustum-compacted copy
+        exactly like updateNodesWithFrustumCulling.
+        """
         self.pyramid = pyramid if pyramid is not None else build_pyramid(grid.occ)
         self.culled_pyramid = None
         self.grid_origin = grid.origin
         self.voxel_size = grid.voxel_size
+        self.linear_tree = tree
+        self.visible_tree = None
+        self.visible_count = None
         self._fast_vol = None
         self._fast_shadow = None
 
@@ -127,8 +147,10 @@ class OctreeRayTracer:
             self._fast_shadow = shadow_volume(self._fast_vol, np.asarray(l))
 
     def update_frustum(self, view_proj):
-        """CPU-side culling step of renderSceneComputeWithCulling
-        (RayTracerBVH.cpp:743-812), as an occupancy mask."""
+        """Culling step of renderSceneComputeWithCulling
+        (RayTracerBVH.cpp:743-812): blank occupancy outside the frustum
+        (what the trace consumes) and, when the flat node buffer is bound,
+        compact it with child remap exactly like the SSBO re-upload."""
         self.culled_pyramid = cull_pyramid(
             self.pyramid,
             self.grid_origin,
@@ -136,6 +158,16 @@ class OctreeRayTracer:
             view_proj,
             self.config.raytrace.frustum_margin,
         )
+        if self.linear_tree is not None:
+            from ray_tracing_octrees_tpu.render.frustum import visible_node_mask
+
+            vis = visible_node_mask(
+                self.linear_tree, jnp.asarray(self.grid_origin, jnp.float32),
+                self.voxel_size, jnp.asarray(view_proj, jnp.float32),
+                self.config.raytrace.frustum_margin,
+            )
+            self.visible_tree, count = compact_visible_nodes(self.linear_tree, vis)
+            self.visible_count = int(count)
 
     def render(
         self,

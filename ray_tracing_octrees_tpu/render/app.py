@@ -159,7 +159,7 @@ class Application:
         self.mc = MarchingCubesRenderer(self.config)
         self.blocks = VoxelBlockRenderer(self.config)
         self.raytracer = OctreeRayTracer(self.config)
-        self.raytracer.set_octree(self.grid, self.pyramid)
+        self.raytracer.set_octree(self.grid, self.pyramid, tree=self.tree)
         self.raycaster = VolumeRaycastRenderer(self.config).init(self.grid, self.pyramid)
         center = np.asarray(building_center(self.grid))
         self.building_center = center
@@ -365,3 +365,44 @@ class Application:
         order = np.argsort(-z)  # far first; near overwrites
         img[py[order], px[order], :3] = shade[order, None] * np.array([0.8, 0.8, 0.85])
         return img
+
+
+def main(argv=None) -> None:
+    """Headless render CLI: ``rto-render --mode VOLUME_RAYCAST --frames 3``.
+
+    The CLI face of the application shell (the reference's interactive
+    window, minus GLFW): loads the scene (cache -> CSV -> sphere), renders
+    N frames in the requested mode while orbiting, writes PNGs.
+    """
+    import argparse
+
+    from ray_tracing_octrees_tpu.config import add_config_args, config_from_args
+    from ray_tracing_octrees_tpu.render.image import write_png
+
+    p = argparse.ArgumentParser(prog="rto-render", description=main.__doc__)
+    p.add_argument("--mode", default="OCTREE_RAYTRACE",
+                   choices=[m.name for m in RenderMode])
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--orbit", type=float, default=0.05,
+                   help="camera theta step per frame (radians)")
+    p.add_argument("--out", default="frames", help="output directory")
+    add_config_args(p)
+    args = p.parse_args(argv)
+    cfg = config_from_args(args)
+
+    app = Application(config=cfg)
+    app.setup()
+    app.mode = RenderMode[args.mode]
+    os.makedirs(args.out, exist_ok=True)
+    for i in range(args.frames):
+        out = app.frame(args.width, args.height)
+        path = os.path.join(args.out, f"{args.mode.lower()}_{i:03d}.png")
+        write_png(path, out["color"])
+        log.info("wrote %s", path)
+        app.orbit(args.orbit / cfg.camera.orbit_rate, 0.0)
+
+
+if __name__ == "__main__":
+    main()

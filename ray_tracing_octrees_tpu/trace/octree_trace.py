@@ -210,9 +210,23 @@ def cull_pyramid(
     xs = origin[0] + jnp.arange(dx, dtype=jnp.float32) * vs
     ys = origin[1] + jnp.arange(dy, dtype=jnp.float32) * vs
     zs = origin[2] + jnp.arange(dz, dtype=jnp.float32) * vs
-    zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
-    lo = jnp.stack([xx, yy, zz], axis=-1)
-    visible = test_aabb(planes, lo, lo + vs, margin) >= 0
+    # Separable p-vertex test: a voxel is outside iff for some plane
+    # (a,b,c,d) the positive vertex satisfies a*px+b*py+c*pz+d < -margin,
+    # and px depends only on x (px = x + vs when a > 0), so each plane's
+    # distance field is a sum of three 1-D terms — evaluated by broadcast,
+    # never materializing a [Z,Y,X,3] corner grid (12 GB at the reference's
+    # 1000^3 ingest clamp; this form peaks at one [Z,Y,X] bool).
+    visible = jnp.ones(occ.shape, bool)
+    for p in range(6):
+        a, b, c, d = planes[p, 0], planes[p, 1], planes[p, 2], planes[p, 3]
+        px = a * (xs + jnp.where(a > 0, vs, 0.0))
+        py = b * (ys + jnp.where(b > 0, vs, 0.0))
+        pz = c * (zs + jnp.where(c > 0, vs, 0.0))
+        dist = px[None, None, :] + py[None, :, None] + pz[:, None, None] + d
+        # test_aabb inflates the box by margin per axis; along the plane
+        # normal that is margin * (|a|+|b|+|c|), reproduced exactly here.
+        infl = margin * (jnp.abs(a) + jnp.abs(b) + jnp.abs(c))
+        visible &= dist >= -infl
     from ray_tracing_octrees_tpu.core.octree import build_pyramid
 
     return build_pyramid(occ & visible)

@@ -48,8 +48,14 @@ CONFIG_WIDE = (16, 128, 256)
 
 
 def _warp_onehot_kernel(ty: int, tx: int, win: int, th: int, tw: int,
-                        t_ref, lin_ref, o_ref, a_scr):
-    """One (ty, tx) pixel tile: grouped one-hot contraction + u select."""
+                        n_planes: int, t_ref, lin_ref, o_ref, a_scr):
+    """One (ty, tx) pixel tile: grouped one-hot contraction + u select.
+
+    ``t_ref`` stacks ``n_planes`` bf16 table planes on the sublane axis
+    ([n_planes * th, tw]); the looked-up value is their sum (the exact
+    hi/lo — or hi/mid/lo — decomposition from :func:`split_hi_lo` /
+    :func:`split_hi_mid_lo`).
+    """
     lin = lin_ref[:, :]
     invalid = lin < 0
     iu = jnp.where(invalid, th - 1, lin >> 10)
@@ -70,15 +76,14 @@ def _warp_onehot_kernel(ty: int, tx: int, win: int, th: int, tw: int,
         def body(first, g=g):
             Vg = ((civ0 + g * 128) == iv[:, :, None]).astype(
                 jnp.bfloat16).reshape(P, 128)
-            th_ = t_ref[pl.ds(umin, win), g * 128:(g + 1) * 128]
-            tl_ = t_ref[pl.ds(th + umin, win), g * 128:(g + 1) * 128]
-            d = jax.lax.dot_general(
-                Vg, th_, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                Vg, tl_, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            d = None
+            for p in range(n_planes):
+                tp_ = t_ref[pl.ds(p * th + umin, win), g * 128:(g + 1) * 128]
+                dp = jax.lax.dot_general(
+                    Vg, tp_, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                d = dp if d is None else d + dp
             if first:
                 a_scr[:, :] = d
             else:
