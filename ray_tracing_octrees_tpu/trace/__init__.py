@@ -10,6 +10,12 @@ from ray_tracing_octrees_tpu.trace.slab_sweep import (
     render_fast_frame,
 )
 from ray_tracing_octrees_tpu.trace.raymarch import raymarch_volume, VolumeTextures
+from ray_tracing_octrees_tpu.trace.mesh_grid import (
+    MCMeshScene,
+    prepare_mc_scene,
+    trace_mc_mesh_texels,
+    render_mc_mesh_frame,
+)
 
 __all__ = [
     "trace_octree",
@@ -22,4 +28,8 @@ __all__ = [
     "render_fast_frame",
     "raymarch_volume",
     "VolumeTextures",
+    "MCMeshScene",
+    "prepare_mc_scene",
+    "trace_mc_mesh_texels",
+    "render_mc_mesh_frame",
 ]

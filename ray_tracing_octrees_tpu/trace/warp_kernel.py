@@ -127,20 +127,46 @@ def split_hi_lo(table):
     return jnp.concatenate([hi, lo], axis=0)
 
 
-def warp_lookup(t_hl, lin2d, ty: int, tx: int, win: int):
+def split_hi_mid_lo(table):
+    """Exact f32 -> (hi, mid, lo) bf16 split, stacked on axis 0 ([3*TH, TW]).
+
+    Exact for EVERY f32 whose exponent stays in bf16 range: hi carries the
+    top 16 float bits (8 significand), the first remainder has <= 16
+    significand bits, of which mid takes the top 8 and lo the exact rest —
+    24 significand bits total, f32's full precision. Used for warping
+    arbitrary f32 channels (e.g. hit distances) and 24-bit packed integers
+    (e.g. 8-bit RGB triples) with zero loss.
+    """
+    bits = jax.lax.bitcast_convert_type(table, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        (bits >> 16).astype(jnp.uint16), jnp.bfloat16)
+    r1 = table - hi_f
+    rbits = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    mid_f = jax.lax.bitcast_convert_type(
+        rbits & jnp.uint32(0xFFFF0000), jnp.float32)
+    mid = jax.lax.bitcast_convert_type(
+        (rbits >> 16).astype(jnp.uint16), jnp.bfloat16)
+    lo = (r1 - mid_f).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=0)
+
+
+def warp_lookup(t_hl, lin2d, ty: int, tx: int, win: int, n_planes: int = 2):
     """out[y, x] = T[lin2d[y,x] >> 10, lin2d[y,x] & (TW-1)]; -1 where lin2d < 0.
 
-    t_hl: bf16[2*TH, TW] hi/lo split table (from :func:`split_hi_lo`).
+    t_hl: bf16[n_planes*TH, TW] plane-split table (from :func:`split_hi_lo`
+    for 16-significand-bit values or :func:`split_hi_mid_lo` for full f32).
     lin2d: int32[H, W], H % ty == 0 and W % tx == 0 (pad with -1).
     Traceable (call inside jit).
     """
     Hp, Wp = lin2d.shape
     th2, tw = t_hl.shape
-    th = th2 // 2
+    th = th2 // n_planes
     if Hp % ty or Wp % tx:
         raise ValueError(f"padded image {Hp}x{Wp} not divisible by tile ({ty},{tx})")
     return pl.pallas_call(
-        functools.partial(_warp_onehot_kernel, ty, tx, win, th, tw),
+        functools.partial(_warp_onehot_kernel, ty, tx, win, th, tw, n_planes),
         grid=(Hp // ty, Wp // tx),
         in_specs=[
             pl.BlockSpec((th2, tw), lambda i, j: (0, 0),
