@@ -23,8 +23,13 @@ tracing factors into:
   3. exact Moller-Trumbore tests of the texel ray against those
      triangles (VPU elementwise);
   4. miss-continuation rounds: rays that crossed a surface cell without
-     striking its triangles advance past it and re-sweep, until every ray
-     resolves or the unresolved count drops below a tolerance.
+     striking its triangles advance to their next stored crossing, until
+     every ray resolves or the unresolved count drops below a tolerance.
+     The sweep runs ONCE per frame — it stores every crossing of every
+     ray in an exhaustive per-2-slab candidate field ([N, C] row-major,
+     C = number of slabs), so the rounds never re-sweep; after two
+     full-resolution rounds the surviving grazing rays are compacted to
+     half the rows (cheap row gather) and iterate there.
 
 This is the wavefront formulation of the reference's per-pixel traversal
 loop (RayTracerBVH.cpp:239-327's octree walk, done here at triangle
@@ -206,15 +211,23 @@ def _build_mesh_hats(scal, sp: int, s_valid: int, a_size: int, b_size: int,
 
 
 
-_SLOTS = 4
-_SUB = 8
+# _SUB=2 with _TOPK=2 makes the candidate field EXHAUSTIVE: two slabs
+# can hold at most two crossings, so every surface-cell crossing of every
+# ray is stored, the `extra` bit never fires, and consumption order is
+# the exact first-hit order. Field memory is 4 * N * sp * 4 B (Calgary
+# sp=256 at 1024^2 texels: 4 GB of the 15.75 GB v5e HBM); scenes with
+# sp >~ 512 should raise _SUB (approximate, `blocked`-counted) or lower
+# inter resolution.
+_SUB = 2
+_TOPK = 2
+_PHASE_A = 2     # full-resolution consumption rounds before compaction
 _MT_EPS = 1e-7
 
 
-def _sweep_slots(case_sw, shadow_sw, hats, prev_o, n_chunks: int,
-                 s_valid: int, a_size: int, b_size: int,
-                 inter_h: int, inter_w: int, flip: bool):
-    """ONE sweep collects up to _SLOTS candidate slabs per texel.
+def _sweep_candidates(case_sw, shadow_sw, hats, n_chunks: int,
+                      s_valid: int, a_size: int, b_size: int,
+                      inter_h: int, inter_w: int, flip: bool):
+    """ONE sweep builds the whole frame's candidate field.
 
     A texel's ray moves laterally by a CONSTANT (slope_a, slope_b) =
     ((ua - eye_a), (ub - eye_b)) / (z0 - eye_s) voxels per slab (pa is
@@ -229,28 +242,36 @@ def _sweep_slots(case_sw, shadow_sw, hats, prev_o, n_chunks: int,
     single-valued, and accumulation is f32 (max 16,777,215 = 2^24 - 1,
     f32-exact).
 
-    Candidates are the FIRST hit of each _SUB-slab subchunk with sweep
-    index strictly > prev_o, taken in slab order; an `extra` bit records
-    whether the subchunk held further hits after the first (the round
-    loop must not step past untested candidates — it re-sweeps from the
-    failed slab instead).
+    For every _SUB-slab subchunk the first _TOPK surface-cell crossings
+    (slab order) are recorded per texel, so the whole frame needs exactly
+    ONE sweep — the Moller-Trumbore rounds consume this field without
+    ever re-sweeping. osh = 4*o + 2*extra + shadow_bit (4*(sp+1) when
+    absent); `extra` marks > _TOPK crossings in the subchunk and is set
+    on the LAST stored rank (a texel whose stored ranks all miss there
+    has untested crossings — counted in the `blocked` stat and scanned
+    onward as a documented farther-hit approximation).
 
-    Returns (slot_osh f32[_SLOTS, IH, IW] = 4*o + 2*extra + shadow_bit
-    (4*big when empty); slot_p f32[3, _SLOTS, IH, IW] packed cases
-    case(b_lo) + 256*case(b_hi) + 65536*case(b_ce) per a-channel).
+    Returns (cand_osh f32[N, C], cand_p tuple of 3 f32[N, C]) with
+    C = _TOPK * sp // _SUB, candidate index = subchunk * _TOPK + rank
+    (slab-major). Row-major [N, C] layout makes straggler compaction a
+    cheap row gather (measured ~2.7 ms for 131k rows of C=64 on v5e,
+    vs ~8 ns/element for column gathers).
     """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     CH = 32
     NSUB = CH // _SUB
     sp = case_sw.shape[0]
+    n_sub = sp // _SUB
+    C = _TOPK * n_sub
+    N = inter_h * inter_w
     ma3, mb_pk, mb_lo_bf = hats
     big_o = f32(sp + 1)
     has_sh = shadow_sw is not None
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (NSUB, _SUB, 1, 1), 1)
 
     def chunk(ci, carry):
-        slot_osh, slot_p, count = carry
+        cand_osh, cand_p = carry
         mb = jax.lax.dynamic_slice_in_dim(mb_pk, ci * CH, CH, 0)
         sl = jax.lax.dynamic_slice_in_dim(case_sw, ci * CH, CH, 0)
         ps = []
@@ -271,48 +292,45 @@ def _sweep_slots(case_sw, shadow_sw, hats, prev_o, n_chunks: int,
         else:
             shs = jnp.zeros_like(ps[0])
 
-        o_idx = (ci * CH + jax.lax.broadcasted_iota(
-            jnp.int32, (CH, 1, 1), 0)).astype(f32)
-        hits = ((ps[0] + ps[1] + ps[2]) > 0.5) & (o_idx > prev_o[None])
-
+        hits = (ps[0] + ps[1] + ps[2]) > 0.5                # [CH, IH, IW]
         sh4 = lambda x: x.reshape(NSUB, _SUB, inter_h, inter_w)
         hsub = sh4(hits)
-        am = jnp.argmax(hsub, axis=1)                       # [NSUB, IH, IW]
-        nsum = hsub.sum(axis=1)
-        anyh = nsum > 0
-        extra = nsum > 1
-        sel = (sub_iota == am[:, None]).astype(f32)
-        p_at = [(sh4(p) * sel).sum(axis=1) for p in ps]     # [NSUB, IH, IW]
-        sh_at = (sh4(shs) * sel).sum(axis=1)
-        o_at = (am + (jnp.arange(NSUB) * _SUB + ci * CH)[:, None, None]
-                ).astype(f32)
-        osh = (4.0 * o_at + 2.0 * extra.astype(f32)
-               + (sh_at > 0.5).astype(f32))
+        nsum = hsub.sum(axis=1)                             # [NSUB, IH, IW]
+        base = (jnp.arange(NSUB) * _SUB + ci * CH)[:, None, None]
 
-        for sub in range(NSUB):
-            valid = anyh[sub]
-            for si in range(_SLOTS):
-                put = valid & (count == si)
-                slot_osh = tuple(
-                    jnp.where(put, osh[sub], s) if i == si else s
-                    for i, s in enumerate(slot_osh))
-                slot_p = tuple(
-                    tuple(
-                        jnp.where(put, p_at[j][sub], pj) if i == si else pj
-                        for i, pj in enumerate(slot_p[j]))
-                    for j in range(3))
-            count = count + valid.astype(jnp.int32)
-        return slot_osh, slot_p, count
+        rows_osh, rows_p = [], [[] for _ in range(3)]
+        rem = hsub
+        for rank in range(_TOPK):
+            am = jnp.argmax(rem, axis=1)                    # [NSUB, IH, IW]
+            anyk = nsum > rank
+            selm = sub_iota == am[:, None]
+            self_ = (selm & rem).astype(f32)
+            o_at = (am + base).astype(f32)
+            sh_at = (sh4(shs) * self_).sum(axis=1)
+            osh = 4.0 * o_at + (sh_at > 0.5).astype(f32)
+            if rank == _TOPK - 1:
+                osh = osh + 2.0 * (nsum > _TOPK).astype(f32)
+            rows_osh.append(jnp.where(anyk, osh, 4.0 * big_o))
+            for j in range(3):
+                rows_p[j].append(
+                    jnp.where(anyk, (sh4(ps[j]) * self_).sum(axis=1), 0.0))
+            rem = rem & ~selm
 
-    empty = jnp.full((inter_h, inter_w), 4.0 * big_o)
-    zero = jnp.zeros((inter_h, inter_w), f32)
-    init = (
-        (empty,) * _SLOTS,
-        tuple((zero,) * _SLOTS for _ in range(3)),
-        jnp.zeros((inter_h, inter_w), jnp.int32),
-    )
-    slot_osh, slot_p, count = jax.lax.fori_loop(0, n_chunks, chunk, init)
-    return slot_osh, slot_p
+        # [NSUB, _TOPK, IH*IW] -> [N, NSUB*_TOPK] block, rank-minor order
+        def block(rows):
+            st = jnp.stack(rows, axis=1)                    # [NSUB, K, IH, IW]
+            return st.reshape(NSUB * _TOPK, N).T
+        cand_osh = jax.lax.dynamic_update_slice(
+            cand_osh, block(rows_osh), (0, ci * NSUB * _TOPK))
+        cand_p = tuple(
+            jax.lax.dynamic_update_slice(
+                cand_p[j], block(rows_p[j]), (0, ci * NSUB * _TOPK))
+            for j in range(3))
+        return cand_osh, cand_p
+
+    init = (jnp.full((N, C), 4.0 * big_o),
+            tuple(jnp.zeros((N, C), f32) for _ in range(3)))
+    return jax.lax.fori_loop(0, n_chunks, chunk, init)
 
 
 def _moller_trumbore_m(ro, rd, tri):
@@ -448,36 +466,27 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
     tri_sab = jnp.einsum("ctvx,sx->ctvs", tri_loc, perm).reshape(256, 45)
     det_sign = -1.0 if axis_world == 1 else 1.0
 
-    state = dict(
-        prev=jnp.full((IH, IW), -1.0, f32),
-        resolved=jnp.zeros(N, bool),
-        hit=jnp.zeros(N, bool),
-        t=jnp.zeros(N, f32),
-        nrm=jnp.zeros((N, 3), f32),
-        sh=jnp.zeros(N, f32),
-        case=jnp.zeros(N, jnp.int32),
-        tri=jnp.zeros(N, jnp.int32),
-        rounds=jnp.zeros((), jnp.int32),
+    cand_osh, cand_p = _sweep_candidates(
+        case_sw, shadow_sw, hats, n_chunks, s_valid, a_size, b_size,
+        IH, IW, flip,
     )
-
-    def cond(s):
-        return ((s["rounds"] < max_rounds)
-                & (jnp.sum(~s["resolved"]) > tol_texels))
-
+    C = cand_osh.shape[1]
     case_iota = jnp.arange(256, dtype=jnp.int32)
+    tri_bf = tri_sab.astype(jnp.bfloat16)
 
-    def slab_pass(o_j, p3_j):
-        """Resolve one candidate slab: top-2 cells, fetch, MT.
+    def slab_pass(o_j, p3_j, geo):
+        """Resolve one candidate slab per row: cell fetch + exact MT.
 
-        Returns (anyhit, t_min (|rd| units), normal_sab [N,3], wcase,
-        wtri, dropped)."""
+        Returns (anyhit, t_min (|rd| units), normal_sab [m,3], wcase,
+        wtri)."""
+        uaf_, ubf_, half_a_, half_b_, ro_sab_, rd_sab_, _ = geo
         k = (f32(s_valid) - 1.0 - o_j) if flip else o_j
         s_scale = (z0 - eye_s) / (k + 0.5 - eye_s)
-        pa = (uaf - eye_a) / s_scale + eye_a
-        pb = (ubf - eye_b) / s_scale + eye_b
-        ca3 = jnp.stack([jnp.floor(pa - half_a), jnp.floor(pa + half_a),
+        pa = (uaf_ - eye_a) / s_scale + eye_a
+        pb = (ubf_ - eye_b) / s_scale + eye_b
+        ca3 = jnp.stack([jnp.floor(pa - half_a_), jnp.floor(pa + half_a_),
                          jnp.floor(pa)], axis=1)
-        cb3 = jnp.stack([jnp.floor(pb - half_b), jnp.floor(pb + half_b),
+        cb3 = jnp.stack([jnp.floor(pb - half_b_), jnp.floor(pb + half_b_),
                          jnp.floor(pb)], axis=1)
 
         def unpack3(p):
@@ -488,28 +497,27 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
 
         cases9 = jnp.stack(
             sum((list(unpack3(p)) for p in p3_j), []), axis=1,
-        ).astype(jnp.int32)                             # [N, 9] a-slow
+        ).astype(jnp.int32)                             # [m, 9] a-slow
         if kcells >= 9:
             # test the whole 3x3 footprint (complete for |slope| <= 2)
             casesk = cases9
             cak = jnp.repeat(ca3, 3, axis=1)
             cbk = jnp.tile(cb3, (1, 3))
-            dropped = jnp.zeros(cases9.shape[0], bool)
         else:
             # |slope| <= 1: footprints hold <= 4 distinct cells (the
             # center channels are duplicate-zeroed), so top-4 is complete
-            casesk, cak, cbk, dropped = _topk_cells(cases9, ca3, cb3, kcells)
+            casesk, cak, cbk, _ = _topk_cells(cases9, ca3, cb3, kcells)
 
         onehot = (casesk[:, :, None] == case_iota[None, None, :]
                   ).astype(jnp.bfloat16)
-        tv = jnp.einsum("nqc,cv->nqv", onehot, tri_sab.astype(jnp.bfloat16),
-                        preferred_element_type=f32)     # [N, K, 45]
+        tv = jnp.einsum("nqc,cv->nqv", onehot, tri_bf,
+                        preferred_element_type=f32)     # [m, K, 45]
         cell_sab = jnp.stack(
             [jnp.broadcast_to(k[:, None], cak.shape), cak, cbk], -1)
         m_tris = kcells * 5
         tri_w = (cell_sab[:, :, None, None, :]
                  + tv.reshape(-1, kcells, 5, 3, 3)).reshape(-1, m_tris, 3, 3)
-        hitm, tm = _moller_trumbore_m(ro_sab, rd_sab, tri_w)
+        hitm, tm = _moller_trumbore_m(ro_sab_, rd_sab_, tri_w)
         tmm = jnp.where(hitm, tm, _BIG)
         t_min = tmm.min(axis=1)
         widx = jnp.argmin(tmm, axis=1)
@@ -518,83 +526,132 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
         nr = jnp.cross(wtri[:, 1] - wtri[:, 0], wtri[:, 2] - wtri[:, 0])
         wcase = (casesk * (jnp.arange(kcells)[None, :]
                            == (widx // 5)[:, None])).sum(1)
-        return (hitm.any(axis=1), t_min, nr, wcase, widx % 5, dropped)
+        return (hitm.any(axis=1), t_min, nr, wcase, widx % 5)
 
-    def body(s):
-        slot_osh, slot_p = _sweep_slots(
-            case_sw, shadow_sw, hats, s["prev"], n_chunks, s_valid,
-            a_size, b_size, IH, IW, flip,
-        )
-        act = ~s["resolved"]
-        got = jnp.zeros(N, bool)            # hit accepted this round
-        chain_ok = jnp.ones(N, bool)        # earlier slots clean
-        blocked_o = jnp.full(N, -1.0, f32)  # slab where the chain broke
-        last_o = s["prev"].reshape(-1)      # last cleanly tested slab
-        new = dict(t=s["t"], nrm=s["nrm"], sh=s["sh"], case=s["case"],
-                   tri=s["tri"])
+    def consume_round(st, c_osh, c_p, geo):
+        """Test each row's next untested candidate; advance or resolve.
 
-        for si in range(_SLOTS):
-            osh = slot_osh[si].reshape(-1)
-            o_j = jnp.floor(osh / 4.0)
-            rem = osh - o_j * 4.0
-            extra = rem >= 2.0
-            shbit = rem - jnp.where(extra, 2.0, 0.0)
-            valid = o_j < f32(s_valid)
-            p3_j = tuple(slot_p[j][si].reshape(-1) for j in range(3))
-            anyhit, t_min, nr, wcase, wtri_i, dropped = slab_pass(o_j, p3_j)
+        A miss on a candidate whose subchunk hides untested crossings
+        (`extra` bit) is counted in `blocked` and scanning continues —
+        any later hit may then be behind the true first hit (documented
+        farther-hit approximation, bounded by the oracle tests)."""
+        rd_len_ = geo[6]
+        ptr, resolved = st["ptr"], st["resolved"]
+        ci = jnp.arange(C, dtype=jnp.int32)[None, :]
+        elig = (c_osh < 4.0 * f32(s_valid)) & (ci >= ptr[:, None])
+        has = elig.any(1)
+        idx = jnp.argmax(elig, axis=1).astype(jnp.int32)
+        oh = ci == idx[:, None]
+        osh_sel = jnp.where(oh, c_osh, 0.0).sum(1)
+        p3_sel = tuple(jnp.where(oh, p, 0.0).sum(1) for p in c_p)
+        o_j = jnp.floor(osh_sel / 4.0)
+        rem = osh_sel - 4.0 * o_j
+        extra = rem >= 2.0
+        shbit = rem - jnp.where(extra, 2.0, 0.0)
+        anyhit, t_min, nr, wcase, wtri_i = slab_pass(o_j, p3_sel, geo)
 
-            use = act & chain_ok & ~got & valid
-            newly = use & anyhit
-            got = got | newly
-            new["t"] = jnp.where(newly, t_min * rd_len, new["t"])
-            new["nrm"] = jnp.where(newly[:, None], nr, new["nrm"])
-            new["sh"] = jnp.where(newly, shbit, new["sh"])
-            new["case"] = jnp.where(newly, wcase, new["case"])
-            new["tri"] = jnp.where(newly, wtri_i, new["tri"])
-            # chain breaks when this slot missed but may hide candidates
-            # (subchunk extras or a dropped third cell)
-            brk = use & ~anyhit & (extra | dropped)
-            blocked_o = jnp.where(brk & (blocked_o < 0), o_j, blocked_o)
-            chain_ok = chain_ok & ~brk
-            last_o = jnp.where(use & ~anyhit & ~brk, o_j, last_o)
-
-        # exhausted: all available slots cleanly missed and slot 3 was
-        # empty (no further candidates exist past last_o)
-        empty_last = jnp.floor(slot_osh[_SLOTS - 1].reshape(-1) / 4.0) \
-            >= f32(s_valid)
-        exhausted = act & ~got & chain_ok & empty_last
-        unresolved = act & ~got & ~exhausted
-        prev_new = jnp.where(chain_ok, last_o, blocked_o)
-        prev_new = jnp.where(unresolved, prev_new, s["prev"].reshape(-1))
-
-        nrm_w = det_sign * (
-            new["nrm"][:, 0:1] * sel_s[None, :]
-            + new["nrm"][:, 1:2] * sel_a[None, :]
-            + new["nrm"][:, 2:3] * sel_b[None, :])
-        nl = jnp.linalg.norm(nrm_w, axis=-1, keepdims=True)
-        nrm_w = jnp.where(got[:, None], nrm_w / jnp.maximum(nl, 1e-30),
-                          s["nrm"])
-
+        act = ~resolved & has
+        newly = act & anyhit
+        miss = act & ~anyhit
+        exh = ~resolved & ~has
         return dict(
-            prev=prev_new.reshape(IH, IW),
-            resolved=s["resolved"] | got | exhausted,
-            hit=s["hit"] | got,
-            t=new["t"],
-            nrm=nrm_w,
-            sh=new["sh"],
-            case=new["case"],
-            tri=new["tri"],
-            rounds=s["rounds"] + 1,
+            ptr=jnp.where(miss, idx + 1, ptr),
+            resolved=resolved | newly | exh,
+            hit=st["hit"] | newly,
+            t=jnp.where(newly, t_min * rd_len_, st["t"]),
+            nrm_sab=jnp.where(newly[:, None], nr, st["nrm_sab"]),
+            sh=jnp.where(newly, shbit, st["sh"]),
+            case=jnp.where(newly, wcase, st["case"]),
+            tri=jnp.where(newly, wtri_i, st["tri"]),
+            blocked=st["blocked"] + jnp.sum(miss & extra),
         )
 
-    s = jax.lax.while_loop(cond, body, state)
-    point = ro + rd * jnp.where(s["hit"], s["t"] / jnp.maximum(rd_len, 1e-30),
+    def init_state(m, ptr, resolved):
+        return dict(
+            ptr=ptr, resolved=resolved,
+            hit=jnp.zeros(m, bool), t=jnp.zeros(m, f32),
+            nrm_sab=jnp.zeros((m, 3), f32), sh=jnp.zeros(m, f32),
+            case=jnp.zeros(m, jnp.int32), tri=jnp.zeros(m, jnp.int32),
+            blocked=jnp.zeros((), jnp.int32),
+        )
+
+    geoA = (uaf, ubf, half_a, half_b, ro_sab, rd_sab, rd_len)
+    stA = init_state(N, jnp.zeros(N, jnp.int32), jnp.zeros(N, bool))
+    hist = jnp.zeros(max_rounds, jnp.int32)
+    n_a = min(_PHASE_A, max_rounds)
+    for r in range(n_a):
+        stA = consume_round(stA, cand_osh, cand_p, geoA)
+        hist = hist.at[r].set(jnp.sum(~stA["resolved"]))
+
+    # Straggler compaction: the surviving rows (grazing rays crossing
+    # many surface cells) iterate at 1/2 the footprint from here on.
+    M = max(64, N // 2)
+    unres = ~stA["resolved"]
+    n_unres = jnp.sum(unres)
+    idxs = jnp.nonzero(unres, size=M, fill_value=N)[0]
+    row_valid = jnp.arange(M) < jnp.minimum(n_unres, M)
+    idxs_c = jnp.minimum(idxs, N - 1)
+    uaf_b, ubf_b = uaf[idxs_c], ubf[idxs_c]
+    half_a_b = 0.5 * jnp.abs((uaf_b - eye_a) / (z0 - eye_s))
+    half_b_b = 0.5 * jnp.abs((ubf_b - eye_b) / (z0 - eye_s))
+    ro_sab_b = jnp.stack([jnp.broadcast_to(eye_s, (M,)),
+                          jnp.broadcast_to(eye_a, (M,)),
+                          jnp.broadcast_to(eye_b, (M,))], 1)
+    rd_sab_b = jnp.stack([jnp.broadcast_to(z0 - eye_s, (M,)),
+                          uaf_b - eye_a, ubf_b - eye_b], 1)
+    rd_len_b = rd_len[idxs_c]
+    geoB = (uaf_b, ubf_b, half_a_b, half_b_b, ro_sab_b, rd_sab_b, rd_len_b)
+    c_oshB = cand_osh[idxs_c]
+    c_pB = tuple(p[idxs_c] for p in cand_p)
+    stB = init_state(M, stA["ptr"][idxs_c], ~row_valid)
+    stB["rounds"] = jnp.zeros((), jnp.int32)
+    stB["hist"] = hist
+
+    def condB(s):
+        return ((s["rounds"] < max_rounds - n_a)
+                & (jnp.sum(~s["resolved"]) > tol_texels))
+
+    def bodyB(s):
+        s2 = consume_round(s, c_oshB, c_pB, geoB)
+        s2["rounds"] = s["rounds"] + 1
+        s2["hist"] = s["hist"].at[n_a + s["rounds"]].set(
+            jnp.sum(~s2["resolved"]))
+        return s2
+
+    stB = jax.lax.while_loop(condB, bodyB, stB)
+
+    # Scatter phase-B results back (fill rows target index N -> dropped).
+    def put(dst, src, mask):
+        tgt = jnp.where(row_valid & mask, idxs, N)
+        return dst.at[tgt].set(src, mode="drop")
+
+    hit = put(stA["hit"], stB["hit"], stB["hit"])
+    t = put(stA["t"], stB["t"], stB["hit"])
+    sh = put(stA["sh"], stB["sh"], stB["hit"])
+    case = put(stA["case"], stB["case"], stB["hit"])
+    tri = put(stA["tri"], stB["tri"], stB["hit"])
+    nrm_sab = stA["nrm_sab"].at[
+        jnp.where(row_valid & stB["hit"], idxs, N)].set(
+        stB["nrm_sab"], mode="drop")
+    resolved = stA["resolved"].at[
+        jnp.where(row_valid, idxs, N)].set(stB["resolved"], mode="drop")
+
+    nrm_w = det_sign * (
+        nrm_sab[:, 0:1] * sel_s[None, :]
+        + nrm_sab[:, 1:2] * sel_a[None, :]
+        + nrm_sab[:, 2:3] * sel_b[None, :])
+    nl = jnp.linalg.norm(nrm_w, axis=-1, keepdims=True)
+    nrm_w = jnp.where(hit[:, None], nrm_w / jnp.maximum(nl, 1e-30), 0.0)
+
+    rounds = n_a + stB["rounds"]
+    point = ro + rd * jnp.where(hit, t / jnp.maximum(rd_len, 1e-30),
                                 0.0)[:, None]
     return dict(
-        hit=s["hit"], t=jnp.where(s["hit"], s["t"], 0.0), normal=s["nrm"],
-        point=point, shadow=s["sh"], case=s["case"], tri=s["tri"],
-        rounds=s["rounds"], unresolved=jnp.sum(~s["resolved"]),
-        ray_o=ro, ray_d=rd,
+        hit=hit, t=jnp.where(hit, t, 0.0), normal=nrm_w,
+        point=point, shadow=sh, case=case, tri=tri,
+        rounds=rounds, unresolved=jnp.sum(~resolved),
+        blocked=stA["blocked"] + stB["blocked"],
+        hist=stB["hist"], ray_o=ro, ray_d=rd,
     )
 
 
