@@ -137,6 +137,10 @@ class EngineConfig:
     # Frustum culling margin for mesh extraction (main.cpp:101)
     extraction_frustum_margin: float = 50.0
 
+    # Extracted-mesh raster base color (the app uploads per-vertex colors;
+    # a single neutral base is used headless, shaded by test.frag Phong)
+    mesh_base_color: Tuple[float, float, float] = (0.8, 0.8, 0.85)
+
     camera: CameraConfig = CameraConfig()
     ingest: IngestConfig = IngestConfig()
     dc: DCConfig = DCConfig()

@@ -22,6 +22,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def host_fetch(x) -> np.ndarray:
+    """Device -> host fetch that sidesteps the slow narrow-dtype untiling.
+
+    uint8/bool arrays whose trailing dims are not tile aligned take
+    SECONDS PER MEGABYTE to fetch through the TPU runtime (measured 102 s
+    for the 3 MB Calgary occupancy at (29, 243, 425); the same values as
+    int32 fetch in 0.26 s — sub-32-bit untiling falls off the fast
+    path, and flat reshapes don't reliably escape it because XLA may keep
+    the source tiling). Upcasting to 32-bit on device first makes every
+    fetch take the fast path; the 4x transfer volume is irrelevant at
+    these sizes. No-op for arrays already on the host.
+    """
+    if isinstance(x, np.ndarray):
+        return x
+    xj = jnp.asarray(x)
+    dt = xj.dtype
+    if dt in (jnp.uint8, jnp.int8, jnp.uint16, jnp.int16, jnp.bool_):
+        return np.asarray(xj.astype(jnp.int32)).astype(dt)
+    if dt in (jnp.bfloat16, jnp.float16):
+        return np.asarray(xj.astype(jnp.float32)).astype(dt)
+    return np.asarray(xj)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class VoxelGrid:
@@ -179,29 +202,26 @@ def filled_world_bounds(grid: VoxelGrid):
 
     Matches the scan in ``recenterFilledVoxels`` (main.cpp:376-422) and the
     building-center scan (main.cpp:1080-1105), which both use voxel centers.
+    Host-side NumPy: this is scene-setup code over a few MB — running it
+    eagerly on device costs dozens of remote op compiles plus the slow
+    unaligned-u8 fetch (see :func:`host_fetch`).
     """
-    occ = grid.occ > 0
-    any_filled = jnp.any(occ)
+    occ = host_fetch(grid.occ) > 0
+    origin = np.asarray(host_fetch(grid.origin), np.float32)
+    vs = float(host_fetch(grid.voxel_size))
+    any_filled = bool(occ.any())
 
-    def axis_bounds(mask_1d, dim, origin_c):
-        idx = jnp.arange(dim)
-        big = jnp.where(mask_1d, idx, dim + 1)
-        small = jnp.where(mask_1d, idx, -1)
-        lo = jnp.min(big)
-        hi = jnp.max(small)
-        return (
-            origin_c + (lo.astype(jnp.float32) + 0.5) * grid.voxel_size,
-            origin_c + (hi.astype(jnp.float32) + 0.5) * grid.voxel_size,
-        )
+    def axis_bounds(mask_1d, origin_c):
+        idx = np.nonzero(mask_1d)[0]
+        lo = idx[0] if idx.size else 0
+        hi = idx[-1] if idx.size else -1
+        return (origin_c + (lo + 0.5) * vs, origin_c + (hi + 0.5) * vs)
 
-    mx = jnp.any(occ, axis=(0, 1))  # over z,y -> [X]
-    my = jnp.any(occ, axis=(0, 2))  # -> [Y]
-    mz = jnp.any(occ, axis=(1, 2))  # -> [Z]
-    lo_x, hi_x = axis_bounds(mx, grid.dim_x, grid.origin[0])
-    lo_y, hi_y = axis_bounds(my, grid.dim_y, grid.origin[1])
-    lo_z, hi_z = axis_bounds(mz, grid.dim_z, grid.origin[2])
-    lo = jnp.stack([lo_x, lo_y, lo_z])
-    hi = jnp.stack([hi_x, hi_y, hi_z])
+    lo_x, hi_x = axis_bounds(occ.any(axis=(0, 1)), origin[0])
+    lo_y, hi_y = axis_bounds(occ.any(axis=(0, 2)), origin[1])
+    lo_z, hi_z = axis_bounds(occ.any(axis=(1, 2)), origin[2])
+    lo = np.array([lo_x, lo_y, lo_z], np.float32)
+    hi = np.array([hi_x, hi_y, hi_z], np.float32)
     return lo, hi, any_filled
 
 
@@ -213,12 +233,14 @@ def recenter_filled_voxels(grid: VoxelGrid) -> VoxelGrid:
     with no filled voxels is returned unchanged.
     """
     lo, hi, any_filled = filled_world_bounds(grid)
+    if not any_filled:
+        return grid
     center = 0.5 * (lo + hi)
-    new_origin = jnp.where(any_filled, grid.origin - center, grid.origin)
-    return dataclasses.replace(grid, origin=new_origin)
+    new_origin = np.asarray(host_fetch(grid.origin), np.float32) - center
+    return dataclasses.replace(grid, origin=jnp.asarray(new_origin))
 
 
-def building_center(grid: VoxelGrid) -> jax.Array:
+def building_center(grid: VoxelGrid) -> np.ndarray:
     """Center of the filled AABB (main.cpp:1080-1105); zeros when empty."""
     lo, hi, any_filled = filled_world_bounds(grid)
-    return jnp.where(any_filled, 0.5 * (lo + hi), jnp.zeros(3, jnp.float32))
+    return 0.5 * (lo + hi) if any_filled else np.zeros(3, np.float32)

@@ -215,7 +215,9 @@ def build_linear_octree(occ) -> LinearOctree:
     RayTracerBVH::setOctree's queue traversal: level by level, children in
     parent visit order then child index order.
     """
-    occ_np = np.asarray(occ) > 0
+    from ray_tracing_octrees_tpu.core.grid import host_fetch
+
+    occ_np = host_fetch(occ) > 0
     dz, dy, dx = occ_np.shape
     s = padded_cube_size(dx, dy, dz)
     num_levels = int(np.log2(s)) + 1

@@ -111,21 +111,36 @@ def gather_cell_hermite(grid: VoxelGrid, cx, cy, cz, size: int, stride: int):
     with K = 3 * n_offsets^3.
     """
     offs = np.arange(0, size + 1, stride, dtype=np.int32)
-    oz, oy, ox = np.meshgrid(offs, offs, offs, indexing="ij")
-    ox = ox.reshape(-1)
-    oy = oy.reshape(-1)
-    oz = oz.reshape(-1)  # [P]
     dims = grid.dims_xyz
 
-    px = cx[:, None] + ox[None, :]
-    py = cy[:, None] + oy[None, :]
-    pz = cz[:, None] + oz[None, :]
-    # scan bounds: point <= min(c+size, dim-1) per axis (offsets already
-    # bound by size; mask the dim-1 clamp)
-    in_scan = (px <= dims[0] - 1) & (py <= dims[1] - 1) & (pz <= dims[2] - 1)
+    # Leaves are UNIFORM by construction (buildOctreeRec only stops at
+    # uniform regions or size 1), so an edge whose BOTH voxels lie inside
+    # the cell ([c, c+size)) can never cross. A crossing needs the far
+    # voxel to exit the cell along the edge axis (off_a >= size-1 of the
+    # strided points) or the point itself to sit outside the cell on a
+    # perpendicular far face (off_b == size). Scanning just that shell is
+    # exactly equivalent to the full cube scan on uniform cells and
+    # shrinks the point set from O((size/stride)^3) to O((size/stride)^2)
+    # — the full cube materialized 6.4M-column arrays for a single
+    # size-256 leaf.
+    ozg, oyg, oxg = np.meshgrid(offs, offs, offs, indexing="ij")
+    oxg, oyg, ozg = oxg.reshape(-1), oyg.reshape(-1), ozg.reshape(-1)
+    oall = (oxg, oyg, ozg)
 
     pts, nrms, msks = [], [], []
     for axis in range(3):
+        oa = oall[axis]
+        keep = oa >= size - 1
+        for b in range(3):
+            if b != axis:
+                keep = keep | (oall[b] == size)
+        sx, sy, sz = oxg[keep], oyg[keep], ozg[keep]
+        px = cx[:, None] + sx[None, :]
+        py = cy[:, None] + sy[None, :]
+        pz = cz[:, None] + sz[None, :]
+        in_scan = (
+            (px <= dims[0] - 1) & (py <= dims[1] - 1) & (pz <= dims[2] - 1)
+        )
         crossing, pos, n = edge_hermite(grid, px, py, pz, axis)
         msks.append(crossing & in_scan)
         pts.append(pos)
@@ -308,65 +323,65 @@ def cell_contains_surface(grid: VoxelGrid, cx, cy, cz, size: int):
         inb = (x >= 0) & (y >= 0) & (z >= 0) & (x < dx) & (y < dy) & (z < dz)
         return inb, grid.sample_safe(x, y, z) > 0
 
-    # --- corners -----------------------------------------------------------------
-    any_filled = jnp.zeros_like(nonempty)
-    any_empty = jnp.zeros_like(nonempty)
-    for sx in (0, 1):
-        for sy in (0, 1):
-            for sz in (0, 1):
-                qx = jnp.where(sx, max_x - 1, min_x)
-                qy = jnp.where(sy, max_y - 1, min_y)
-                qz = jnp.where(sz, max_z - 1, min_z)
-                inb, f = occ_at(qx, qy, qz)
-                any_filled = any_filled | (inb & f)
-                any_empty = any_empty | (inb & ~f)
-    result = any_filled & any_empty
+    # Offsets ride array axes, not Python loop constants: a loop-constant
+    # per iteration bakes a distinct HLO per step, and on remote-compile
+    # TPU runtimes every one of those is a multi-second compile RPC
+    # (measured 8-19 s per level for this function before the rewrite).
 
-    # --- strided diagonal face probes ---------------------------------------------
+    # --- corners ([C, 8] in one shot) ----------------------------------------------
+    sel = np.array(
+        [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+        np.int32,
+    )
+    qx = jnp.where(sel[None, :, 0], (max_x - 1)[:, None], min_x[:, None])
+    qy = jnp.where(sel[None, :, 1], (max_y - 1)[:, None], min_y[:, None])
+    qz = jnp.where(sel[None, :, 2], (max_z - 1)[:, None], min_z[:, None])
+    inb, f = occ_at(qx, qy, qz)
+    result = (inb & f).any(-1) & (inb & ~f).any(-1)
+
+    # --- strided diagonal face probes ([C, n_off] per direction/end) ---------------
     stride = max(1, size // 4)
-    for off in range(0, size, stride):
-        # X direction: probe column (y1, z1) = (minY+off, minZ+off)
-        y1 = min_y + off
-        z1 = min_z + off
-        okx = (y1 < max_y) & (z1 < max_z)
-        for xa, xb in ((min_x - 1, min_x), (max_x - 1, max_x)):
-            inb = (xa >= 0) & (xb < dx) & okx
-            _, f1 = occ_at(jnp.maximum(xa, 0), y1, z1)
-            _, f2 = occ_at(jnp.minimum(xb, dx - 1), y1, z1)
-            result = result | (inb & (f1 != f2))
-        # Y direction
-        x1 = min_x + off
-        z1 = min_z + off
-        oky = (x1 < max_x) & (z1 < max_z)
-        for ya, yb in ((min_y - 1, min_y), (max_y - 1, max_y)):
-            inb = (ya >= 0) & (yb < dy) & oky
-            _, f1 = occ_at(x1, jnp.maximum(ya, 0), z1)
-            _, f2 = occ_at(x1, jnp.minimum(yb, dy - 1), z1)
-            result = result | (inb & (f1 != f2))
-        # Z direction
-        x1 = min_x + off
-        y1 = min_y + off
-        okz = (x1 < max_x) & (y1 < max_y)
-        for za, zb in ((min_z - 1, min_z), (max_z - 1, max_z)):
-            inb = (za >= 0) & (zb < dz) & okz
-            _, f1 = occ_at(x1, y1, jnp.maximum(za, 0))
-            _, f2 = occ_at(x1, y1, jnp.minimum(zb, dz - 1))
-            result = result | (inb & (f1 != f2))
+    offs = np.arange(0, size, stride, dtype=np.int32)[None, :]
 
-    # --- exhaustive interior scan for small cells ----------------------------------
+    def probes(at, p1, p2, ok, lo_end, hi_end, dcap):
+        r = jnp.zeros_like(result)
+        for ea, eb in ((lo_end - 1, lo_end), (hi_end - 1, hi_end)):
+            inb_ = (ea[:, None] >= 0) & (eb[:, None] < dcap) & ok
+            _, f1 = at(jnp.clip(ea, 0, dcap - 1)[:, None], p1, p2)
+            _, f2 = at(jnp.clip(eb, 0, dcap - 1)[:, None], p1, p2)
+            r = r | (inb_ & (f1 != f2)).any(-1)
+        return r
+
+    y1 = min_y[:, None] + offs
+    z1 = min_z[:, None] + offs
+    x1 = min_x[:, None] + offs
+    result = result | probes(
+        lambda a, b, c: occ_at(a, b, c), y1, z1,
+        (y1 < max_y[:, None]) & (z1 < max_z[:, None]), min_x, max_x, dx)
+    result = result | probes(
+        lambda a, b, c: occ_at(b, a, c), x1, z1,
+        (x1 < max_x[:, None]) & (z1 < max_z[:, None]), min_y, max_y, dy)
+    result = result | probes(
+        lambda a, b, c: occ_at(b, c, a), x1, y1,
+        (x1 < max_x[:, None]) & (y1 < max_y[:, None]), min_z, max_z, dz)
+
+    # --- exhaustive interior scan for small cells ([C, size^3] in one shot) --------
     if size <= 4:
-        for oz in range(size):
-            for oy in range(size):
-                for ox in range(size):
-                    x = min_x + ox
-                    y = min_y + oy
-                    z = min_z + oz
-                    inb = (x < max_x - 1) & (y < max_y - 1) & (z < max_z - 1)
-                    _, f = occ_at(x, y, z)
-                    _, fx = occ_at(x + 1, y, z)
-                    _, fy = occ_at(x, y + 1, z)
-                    _, fz = occ_at(x, y, z + 1)
-                    result = result | (inb & ((f != fx) | (f != fy) | (f != fz)))
+        o = np.arange(size, dtype=np.int32)
+        ozg, oyg, oxg = np.meshgrid(o, o, o, indexing="ij")
+        oxg, oyg, ozg = oxg.reshape(-1), oyg.reshape(-1), ozg.reshape(-1)
+        x = min_x[:, None] + oxg[None, :]
+        y = min_y[:, None] + oyg[None, :]
+        z = min_z[:, None] + ozg[None, :]
+        inb_ = (x < max_x[:, None] - 1) & (y < max_y[:, None] - 1) \
+            & (z < max_z[:, None] - 1)
+        _, f = occ_at(x, y, z)
+        _, fx = occ_at(x + 1, y, z)
+        _, fy = occ_at(x, y + 1, z)
+        _, fz = occ_at(x, y, z + 1)
+        result = result | (
+            inb_ & ((f != fx) | (f != fy) | (f != fz))
+        ).any(-1)
 
     return result & nonempty
 
@@ -404,6 +419,16 @@ def adaptive_dual_contouring(
     level = _np.asarray(tree.level)
     n_nodes = tree.num_nodes
 
+    def _pad_pow2(ids, lo=64):
+        """Pad id lists to power-of-two buckets so per-level batches share
+        compiled programs (per-level exact shapes would recompile every op
+        for every level — multi-second RPCs each on remote-compile TPU
+        runtimes). Pads duplicate ids[0]; callers mask with `n_real`."""
+        n = len(ids)
+        p = max(lo, 1 << int(_np.ceil(_np.log2(max(1, n)))))
+        return _np.concatenate(
+            [ids, _np.full(p - n, ids[0], ids.dtype)]), n
+
     # ---- pass 0: surface leaves & crossing edges per level ----------------------
     levels_present = sorted(set(level[leaf].tolist()))
     surface_by_level = {}
@@ -411,15 +436,17 @@ def adaptive_dual_contouring(
     adj_ids_by_level = {}
 
     for k in levels_present:
-        ids = _np.nonzero(leaf & (level == k))[0]
+        ids = _np.nonzero(leaf & (level == k))[0].astype(_np.int32)
         if len(ids) == 0:
             continue
-        ids_j = jnp.asarray(ids, jnp.int32)
+        ids, n_real = _pad_pow2(ids)
+        ids_j = jnp.asarray(ids)
         s = 1 << k
         cx = tree.x[ids_j]
         cy = tree.y[ids_j]
         cz = tree.z[ids_j]
         surf = cell_contains_surface(grid, cx, cy, cz, s)
+        surf = surf & (jnp.arange(len(ids)) < n_real)
         if node_mask is not None:
             surf = surf & node_mask[ids_j]
         surface_by_level[k] = (ids_j, surf)
@@ -471,16 +498,13 @@ def adaptive_dual_contouring(
             adj_per_dir.append((crossing, adj_info))
         adj_ids_by_level[k] = adj_per_dir
 
-        # need-vertex: surface leaves + valid adjacents
-        need_vertex = need_vertex.at[ids_j].set(
-            need_vertex[ids_j] | surf, mode="drop"
-        )
+        # need-vertex: surface leaves + valid adjacents (`max` = scatter-OR;
+        # padded duplicate ids must not clobber True with False)
+        need_vertex = need_vertex.at[ids_j].max(surf, mode="drop")
         for crossing, adj_info in adj_per_dir:
             for nid, ok in adj_info:
                 nid_c = jnp.clip(nid, 0, n_nodes - 1)
-                need_vertex = need_vertex.at[nid_c].set(
-                    need_vertex[nid_c] | ok, mode="drop"
-                )
+                need_vertex = need_vertex.at[nid_c].max(ok, mode="drop")
 
         # potential boundary-fan participants: face neighbors of boundary
         # surface leaves also need their (own-size) dual vertex
@@ -500,18 +524,17 @@ def adaptive_dual_contouring(
             nid = tree.find_node(nx_, ny_, nz_)
             nid_c = jnp.clip(nid, 0, n_nodes - 1)
             ok = fan_possible & inb_f & (nid >= 0) & tree.is_leaf[nid_c]
-            need_vertex = need_vertex.at[nid_c].set(
-                need_vertex[nid_c] | ok, mode="drop"
-            )
+            need_vertex = need_vertex.at[nid_c].max(ok, mode="drop")
 
     # ---- pass 1: dual vertices for all needed leaves, per level ------------------
     vertex = _node_centers(tree, grid)  # default: own-size cell center
     need_np = _np.asarray(need_vertex)
     for k in levels_present:
-        ids = _np.nonzero(leaf & (level == k) & need_np)[0]
+        ids = _np.nonzero(leaf & (level == k) & need_np)[0].astype(_np.int32)
         if len(ids) == 0:
             continue
-        ids_j = jnp.asarray(ids, jnp.int32)
+        ids, _ = _pad_pow2(ids)   # duplicate ids write identical vertices
+        ids_j = jnp.asarray(ids)
         s = 1 << k
         stride = (
             dc_cfg.stride_large_cell if s > dc_cfg.stride_switch_size else 1
@@ -568,46 +591,63 @@ def adaptive_dual_contouring(
             t1v, t1n, t1k = tri(v_self, second, third, crossing & (cnt >= 3))
             t2v, t2n, t2k = tri(v_self, third, fourth, crossing & (cnt == 4))
 
-            out_verts.append(jnp.concatenate([t1v, t2v], 0))
-            out_normals.append(jnp.concatenate([t1n, t2n], 0))
-            keep = jnp.concatenate([t1k, t2k], 0)
-            out_verts[-1] = jnp.where(keep[:, None, None], out_verts[-1], 0.0)
-            out_normals[-1] = jnp.where(keep[:, None], out_normals[-1], 0.0)
-            out_verts[-1] = (out_verts[-1], keep)  # (data, mask) pair
-            out_normals[-1] = out_normals[-1]
+            # store FLAT [M*9]/[M*3]: a [M,3,3] f32 array tiles to
+            # T(4,128) on TPU — 57x the logical bytes; flat is 1x
+            out_verts.append(
+                (jnp.concatenate([t1v, t2v], 0).reshape(-1),
+                 jnp.concatenate([t1k, t2k], 0)))
+            out_normals.append(jnp.concatenate([t1n, t2n], 0).reshape(-1))
             leaf_emitted = leaf_emitted | t1k | t2k[: t1k.shape[0]]
 
-        emitted_any = emitted_any.at[ids_j].set(leaf_emitted, mode="drop")
+        emitted_any = emitted_any.at[ids_j].max(leaf_emitted, mode="drop")
 
     # ---- pass 3: boundary face fans (createFaceTriangles fallback) ---------------
     if with_boundary_fans:
         fan_v, fan_n, fan_k = _boundary_face_fans(
-            grid, tree, vertex, surface_by_level, emitted_any, dc_cfg
+            grid, tree, vertex, surface_by_level, emitted_any, dc_cfg,
+            _pad_pow2,
         )
         if fan_v is not None:
             out_verts.append((fan_v, fan_k))
             out_normals.append(fan_n)
 
-    # ---- gather to host, filter, concatenate ------------------------------------
-    all_v = []
-    all_n = []
-    for (v, keep), n in zip(out_verts, out_normals):
-        keep_np = _np.asarray(keep)
-        all_v.append(_np.asarray(v)[keep_np])
-        all_n.append(_np.asarray(n)[keep_np])
-    if all_v:
-        verts = _np.concatenate(all_v, 0)
-        normals = _np.concatenate(all_n, 0)
-    else:
-        verts = _np.zeros((0, 3, 3), _np.float32)
-        normals = _np.zeros((0, 3), _np.float32)
-    return jnp.asarray(verts), jnp.asarray(normals), verts.shape[0]
+    # ---- device-side compaction (flat layouts), ONE host fetch -------------------
+    from ray_tracing_octrees_tpu.core.grid import host_fetch
+
+    if not out_verts:
+        z = _np.zeros((0, 3, 3), _np.float32)
+        return jnp.asarray(z), jnp.asarray(z[:, :, 0]), 0
+    v_all = jnp.concatenate([v for v, _ in out_verts])        # [T*9]
+    n_all = jnp.concatenate(out_normals)                      # [T*3]
+    k_all = jnp.concatenate([k for _, k in out_verts])        # [T]
+    cap = k_all.shape[0]
+    slot = jnp.cumsum(k_all) - 1                              # [T]
+    k9 = jnp.repeat(k_all, 9)
+    s9 = jnp.repeat(slot, 9) * 9 + jnp.tile(jnp.arange(9), cap)
+    v_c = jnp.zeros((cap * 9,), jnp.float32).at[
+        jnp.where(k9, s9, cap * 9)].set(v_all, mode="drop")
+    k3 = jnp.repeat(k_all, 3)
+    s3 = jnp.repeat(slot, 3) * 3 + jnp.tile(jnp.arange(3), cap)
+    n_c = jnp.zeros((cap * 3,), jnp.float32).at[
+        jnp.where(k3, s3, cap * 3)].set(n_all, mode="drop")
+    total = int(jnp.sum(k_all))
+    verts = host_fetch(v_c)[: total * 9].reshape(-1, 3, 3)
+    normals = host_fetch(n_c)[: total * 3].reshape(-1, 3)
+    return jnp.asarray(verts), jnp.asarray(normals), total
 
 
-def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any, dc_cfg):
+def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any,
+                        dc_cfg, _pad_pow2):
     """createFaceTriangles (AdaptiveDualContouringRenderer.cpp:805-1088) for
-    surface leaves that emitted nothing and touch the grid boundary."""
+    surface leaves that emitted nothing and touch the grid boundary.
+
+    Fan candidates are HOST-compacted per level before the 192-triangles-
+    per-cell expansion (each level's fan emission is E * 192 triangles —
+    expanding the full padded level instead of the handful of eligible
+    boundary cells cost tens of millions of padded rows)."""
     import numpy as _np
+
+    from ray_tracing_octrees_tpu.core.grid import host_fetch
 
     dx, dy, dz = grid.dims_xyz
     n_nodes = tree.num_nodes
@@ -634,7 +674,15 @@ def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any, dc_cf
             (cx == 0) | (cy == 0) | (cz == 0)
             | (cx + s >= dx) | (cy + s >= dy) | (cz + s >= dz)
         )
-        eligible = surf & (~emitted_any[ids_j]) & at_boundary
+        elig_np = host_fetch(surf & (~emitted_any[ids_j]) & at_boundary)
+        sel = _np.nonzero(elig_np)[0].astype(_np.int32)
+        if len(sel) == 0:
+            continue
+        sel, n_real = _pad_pow2(sel, lo=64)
+        sel_j = jnp.asarray(sel)
+        ids_j = ids_j[sel_j]
+        eligible = jnp.arange(len(sel)) < n_real
+        cx, cy, cz = tree.x[ids_j], tree.y[ids_j], tree.z[ids_j]
         v_self = vertex[ids_j]
         solid_self = tree.is_solid[ids_j]
 
@@ -699,8 +747,8 @@ def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any, dc_cf
                     )
 
             def emit(a, b, c, nrm):
-                fan_verts.append(jnp.stack([a, b, c], axis=1))
-                fan_normals.append(nrm)
+                fan_verts.append(jnp.stack([a, b, c], axis=1).reshape(-1))
+                fan_normals.append(nrm.reshape(-1))
                 fan_keep.append(active)
 
             for i in range(divisions):
@@ -722,7 +770,7 @@ def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any, dc_cf
 
     if not fan_verts:
         return None, None, None
-    v = jnp.concatenate(fan_verts, 0)
-    n = jnp.concatenate(fan_normals, 0)
-    keep = jnp.concatenate(fan_keep, 0)
+    v = jnp.concatenate(fan_verts)     # flat [F*9]
+    n = jnp.concatenate(fan_normals)   # flat [F*3]
+    keep = jnp.concatenate(fan_keep)   # [F]
     return v, n, keep

@@ -324,6 +324,25 @@ class Application:
                 self.config.extraction_frustum_margin,
             )
             out["wireframe"] = dict(segments=np.asarray(segs), count=int(n_lines) )
+            # draw the overlay depth-tested over the frame, as the
+            # reference's white overrideColor line pass does
+            # (main.cpp:1381-1409)
+            if "color" in out and int(n_lines) > 0:
+                from ray_tracing_octrees_tpu.render.raster import (
+                    rasterize_lines,
+                )
+
+                zb = getattr(self, "_last_zbuf", None)
+                h, w = out["color"].shape[:2]
+                if zb is None or zb.shape != (h, w):
+                    zb = jnp.full((h, w), 2.0, jnp.float32)
+                segs_j = jnp.asarray(segs)
+                ok = jnp.arange(segs_j.shape[0]) < int(n_lines)
+                img = rasterize_lines(
+                    jnp.asarray(out["color"]), zb, segs_j, vp, w, h,
+                    valid=ok,
+                )
+                out["color"] = np.asarray(img)
 
         self._frame_idx += 1
         self.raycaster.time_value = self._frame_idx / 60.0
@@ -331,40 +350,37 @@ class Application:
         return out
 
     def _rasterize_preview(self, verts, normals, count, width, height) -> np.ndarray:
-        """Depth-buffered point-splat preview of extracted meshes.
+        """Filled-triangle Phong render of extracted meshes.
 
-        The reference rasterizes via GL (test.vert/frag Phong); headless, we
-        project triangle vertices and z-buffer splat with the same Phong
-        terms (ambient 0.3, diffuse, light at (100,100,100)) — enough to
-        validate extraction output visually without a raster pipeline.
+        The reference rasterizes via GL (test.vert/frag,
+        main.cpp:1252-1259); headless, render/raster.py reproduces the
+        MVP transform, z-buffered barycentric coverage, and the exact
+        test.frag lighting terms. The depth buffer is kept for the
+        wireframe overlay's depth test.
         """
-        img = np.zeros((height, width, 4), np.float32)
-        img[..., 3] = 1.0
+        from ray_tracing_octrees_tpu.render.raster import rasterize_triangles
+
         if count == 0:
+            img = np.zeros((height, width, 4), np.float32)
+            img[..., 3] = 1.0
+            self._last_zbuf = None
             return img
-        v = np.asarray(verts[:count]).reshape(-1, 3)
-        n = np.repeat(np.asarray(normals[:count]), 3, axis=0)
-        vp = self.camera.get_proj(width / height) @ self.camera.get_view()
-        hom = np.concatenate([v, np.ones((len(v), 1), np.float32)], axis=1) @ vp.T
-        w = hom[:, 3]
-        ok = w > 1e-6
-        ndc = hom[ok, :3] / w[ok, None]
-        n = n[ok]
-        v = v[ok]
-        px = ((ndc[:, 0] * 0.5 + 0.5) * (width - 1)).astype(np.int32)
-        py = ((0.5 - ndc[:, 1] * 0.5) * (height - 1)).astype(np.int32)
-        inside = (px >= 0) & (px < width) & (py >= 0) & (py < height) & (np.abs(ndc[:, 2]) <= 1)
-        px, py, z = px[inside], py[inside], ndc[inside, 2]
-        n = n[inside]
-        v = v[inside]
-        light = np.array([100.0, 100.0, 100.0], np.float32)
-        ldir = light[None, :] - v
-        ldir /= np.maximum(np.linalg.norm(ldir, axis=1, keepdims=True), 1e-30)
-        diff = np.maximum((n * ldir).sum(1), 0.0)
-        shade = np.clip(0.3 + diff, 0.0, 1.0)
-        order = np.argsort(-z)  # far first; near overwrites
-        img[py[order], px[order], :3] = shade[order, None] * np.array([0.8, 0.8, 0.85])
-        return img
+        vp = jnp.asarray(
+            self.camera.get_proj(width / height) @ self.camera.get_view(),
+            jnp.float32,
+        )
+        tris = jnp.asarray(verts[:count])
+        nrm = jnp.asarray(normals[:count])
+        colors = jnp.broadcast_to(
+            jnp.asarray(self.config.mesh_base_color, jnp.float32),
+            (tris.shape[0], 3),
+        )
+        img, zbuf = rasterize_triangles(
+            tris, nrm, colors, vp, width, height,
+            cam_pos=jnp.asarray(self.camera.get_pos(), jnp.float32),
+        )
+        self._last_zbuf = zbuf
+        return np.asarray(img)
 
 
 def main(argv=None) -> None:
