@@ -286,9 +286,61 @@ def config5():
     )
 
 
+def config6():
+    """VOLUME_RAYCAST mode (the reference's busiest kernel, raycastFS.glsl):
+    full raymarch_volume with mip skipping, shadows, AO, TAA jitter."""
+    import jax
+    import jax.numpy as jnp
+    from ray_tracing_octrees_tpu.config import DEFAULT_CONFIG
+    from ray_tracing_octrees_tpu.core.cache import load_voxel_grid
+    from ray_tracing_octrees_tpu.core.grid import (
+        make_sphere_grid, recenter_filled_voxels, building_center,
+    )
+    from ray_tracing_octrees_tpu.core.octree import build_pyramid
+    from ray_tracing_octrees_tpu.models.volume_raycaster import (
+        VolumeRaycastRenderer,
+    )
+    from ray_tracing_octrees_tpu.render.camera import Camera
+
+    path = "/root/reference/sceneCache.bin"
+    if os.path.exists(path):
+        g = recenter_filled_voxels(load_voxel_grid(path))
+        scene = "calgary"
+    else:
+        g = make_sphere_grid(128)
+        scene = "sphere128"
+    rc = VolumeRaycastRenderer(DEFAULT_CONFIG).init(g, build_pyramid(g.occ))
+    extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
+    center = np.asarray(building_center(g))
+
+    for W, H in ((512, 512), (1920, 1088)):
+        def frame(i):
+            cam = Camera(theta=0.9 + 0.01 * i, phi=0.8 - 0.005 * i,
+                         radius=0.75 * extent)
+            cam.set_target(center)
+            return rc.draw(cam, W, H, W / H)["color"]
+
+        img = frame(0)
+        jax.block_until_ready(img)
+        n = 5
+        t0 = time.perf_counter()
+        outs = [frame(1 + i) for i in range(n)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / n
+        _emit(
+            config="volume_raymarch",
+            scene=scene,
+            resolution=f"{W}x{H}",
+            frame_ms=round(dt * 1e3, 1),
+            fps=round(1.0 / dt, 2),
+            mrays_per_s=round(W * H / dt / 1e6, 3),
+        )
+
+
 def main():
-    picks = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
-    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    picks = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6]
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
     for p in picks:
         try:
             fns[p]()

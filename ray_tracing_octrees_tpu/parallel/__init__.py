@@ -2,6 +2,11 @@ from ray_tracing_octrees_tpu.parallel.mesh import make_mesh, ray_sharding
 from ray_tracing_octrees_tpu.parallel.sharding import (
     trace_sharded,
     render_image_sharded,
+    marching_cubes_halo,
+)
+from ray_tracing_octrees_tpu.parallel.distributed import (
+    initialize_distributed,
+    local_slice,
 )
 
 __all__ = [
@@ -9,4 +14,7 @@ __all__ = [
     "ray_sharding",
     "trace_sharded",
     "render_image_sharded",
+    "marching_cubes_halo",
+    "initialize_distributed",
+    "local_slice",
 ]

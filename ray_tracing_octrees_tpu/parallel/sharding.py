@@ -251,3 +251,70 @@ def trace_segmented(
         check_rep=False,
     )
     return jax.jit(f)(occ, origins, directions)
+
+
+def marching_cubes_halo(
+    mesh: Mesh,
+    occ: jax.Array,
+    grid_origin,
+    voxel_size,
+    max_triangles_per_shard: int,
+):
+    """Tensor-parallel Marching Cubes on Z-slab-resident grids.
+
+    SURVEY §2.8's TP row made concrete: the grid lives sharded in Z-slabs
+    over ``tp`` (mirroring loadVoxelGridPartial's slab layout,
+    CacheUtils.cpp:62-111) and never all-gathers. Each MC cell reads a +1
+    lattice halo in Z, so every shard ppermutes its FIRST occupancy layer
+    to its -Z neighbor once per extraction — the only communication; the
+    last shard's halo is EMPTY padding, and cells at global z >= Z-1 are
+    masked so the output equals dense single-device MC exactly.
+
+    Returns (verts f32[tp * cap, 3, 3], normals f32[tp * cap, 3],
+    counts i32[tp]) — shard s's triangles occupy verts[s*cap : s*cap +
+    counts[s]].
+    """
+    from ray_tracing_octrees_tpu.core.grid import VoxelGrid
+    from ray_tracing_octrees_tpu.ops.marching_cubes import marching_cubes_grid
+
+    tp = mesh.shape["tp"]
+    occ = jnp.asarray(occ)
+    Z = occ.shape[0]
+    occ = _pad_to_multiple(occ, 0, tp)
+    zl = occ.shape[0] // tp
+    g0 = jnp.asarray(grid_origin, jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    cap = max_triangles_per_shard
+
+    def local(occ_slab):
+        zi = jax.lax.axis_index("tp")
+        # +Z halo: every shard sends its FIRST layer one step down the ring
+        halo = jax.lax.ppermute(
+            occ_slab[:1], "tp",
+            [(i, (i - 1) % tp) for i in range(tp)],
+        )
+        halo = jnp.where(zi == tp - 1, jnp.zeros_like(halo), halo)
+        occ_ext = jnp.concatenate([occ_slab, halo], axis=0)  # [zl+1, Y, X]
+
+        local_origin = g0 + jnp.array([0.0, 0.0, 1.0]) * (
+            zi.astype(jnp.float32) * zl * vs
+        )
+        lgrid = VoxelGrid(occ=occ_ext, origin=local_origin, voxel_size=vs)
+        # mask cells whose GLOBAL z has no dense-MC counterpart
+        cz = jnp.arange(zl)[:, None, None] + zi * zl
+        cell_mask = jnp.broadcast_to(
+            cz < Z - 1, (zl, occ_ext.shape[1] - 1, occ_ext.shape[2] - 1)
+        )
+        verts, normals, count = marching_cubes_grid(
+            lgrid, max_triangles=cap, cell_mask=cell_mask
+        )
+        return verts, normals, count.reshape(1).astype(jnp.int32)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("tp", None, None),),
+        out_specs=(P("tp", None, None), P("tp", None), P("tp")),
+        check_rep=False,
+    )
+    return jax.jit(f)(occ)

@@ -65,3 +65,61 @@ def test_render_image_sharded_matches(scene):
     assert img.shape == (o.shape[0], 4)
     lit = np.asarray(img)[:, :3].max(-1) > 0
     np.testing.assert_array_equal(lit, ref["hit"])
+
+
+def test_marching_cubes_halo_matches_dense():
+    """TP halo-exchange MC on Z-slab shards == dense single-device MC.
+
+    Triangle sets compared as multisets (per-shard emission order
+    differs from the dense row-major order)."""
+    from ray_tracing_octrees_tpu.ops.marching_cubes import (
+        count_mc_triangles, marching_cubes_grid,
+    )
+    from ray_tracing_octrees_tpu.parallel.sharding import marching_cubes_halo
+
+    g = make_sphere_grid(24)   # Z=24 -> 8 shards of 3 layers
+    total = int(count_mc_triangles(g))
+    dv, dn, dc = marching_cubes_grid(g, max_triangles=total + 8)
+    dense_v = np.asarray(dv)[: int(dc)]
+    dense_n = np.asarray(dn)[: int(dc)]
+
+    mesh = make_mesh(8, dp=1, tp=8)
+    hv, hn, hc = marching_cubes_halo(
+        mesh, g.occ, g.origin, g.voxel_size,
+        max_triangles_per_shard=total,
+    )
+    hv, hn, hc = np.asarray(hv), np.asarray(hn), np.asarray(hc)
+    cap = hv.shape[0] // 8
+    parts_v = [hv[s * cap : s * cap + hc[s]] for s in range(8)]
+    parts_n = [hn[s * cap : s * cap + hc[s]] for s in range(8)]
+    halo_v = np.concatenate(parts_v)
+    halo_n = np.concatenate(parts_n)
+
+    assert halo_v.shape == dense_v.shape, (halo_v.shape, dense_v.shape)
+
+    # Binary-MC vertices sit on the vs/2 lattice; the shard's shifted
+    # local origin perturbs them by float-epsilon, so sort by the EXACT
+    # quantized lattice coordinates and compare aligned rows.
+    vs = float(np.asarray(g.voxel_size))
+
+    def key(tris, nrms):
+        flat = tris.reshape(len(tris), -1)
+        q = np.round(flat / (vs / 2)).astype(np.int64)
+        order = np.lexsort(q.T)
+        return flat[order], q[order], nrms[order]
+
+    hv_s, hq, hn_s = key(halo_v, halo_n)
+    dv_s, dq, dn_s = key(dense_v, dense_n)
+    np.testing.assert_array_equal(hq, dq)
+    np.testing.assert_allclose(hv_s, dv_s, atol=1e-5)
+    np.testing.assert_allclose(hn_s, dn_s, atol=1e-5)
+
+
+def test_initialize_distributed_single_process_noop():
+    from ray_tracing_octrees_tpu.parallel.distributed import (
+        initialize_distributed, local_slice,
+    )
+
+    assert initialize_distributed() is False   # no coordinator configured
+    s = local_slice(100)
+    assert s == slice(0, 100)
