@@ -255,35 +255,57 @@ def config5():
 
     extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
     W, H = 3840, 2160  # 4K fly-through
-    n_poses = 4
-    frames = 0
-    t_total = 0.0
     import jax
 
-    for i in range(n_poses):
-        cam = Camera(theta=0.8 + 0.05 * i, phi=0.5 + 0.4 * i, radius=0.8 * extent)
-        cam.set_target(np.asarray(building_center(g)))
-        f = lambda: render_fast_frame(
-            vol, sv, g.origin, g.voxel_size,
-            cam.get_pos(), cam.get_view(), 45.0, W / H, W, H,
-            light_dir=light,
+    center = np.asarray(building_center(g))
+    wmin = np.asarray(g.world_min)
+    wmax = np.asarray(g.world_max)
+
+    def measure(poses, label):
+        t_total, frames = 0.0, 0
+        for cam in poses:
+            f = lambda: render_fast_frame(
+                vol, sv, g.origin, g.voxel_size,
+                cam.get_pos(), cam.get_view(), 45.0, W / H, W, H,
+                light_dir=light,
+            )
+            img = f()
+            jax.block_until_ready(img)
+            t0 = time.perf_counter()
+            img = f()
+            jax.block_until_ready(img)
+            t_total += time.perf_counter() - t0
+            frames += 1
+        dt = t_total / frames
+        _emit(
+            config=f"calgary_4k_flythrough_{label}",
+            scene=scene,
+            resolution=f"{W}x{H}",
+            frame_ms=round(dt * 1e3, 1),
+            fps=round(1.0 / dt, 2),
+            mrays_per_s=round(W * H * 2 / dt / 1e6, 1),
         )
-        img = f()
-        jax.block_until_ready(img)
-        t0 = time.perf_counter()
-        img = f()
-        jax.block_until_ready(img)
-        t_total += time.perf_counter() - t0
-        frames += 1
-    dt = t_total / frames
-    _emit(
-        config="calgary_4k_flythrough",
-        scene=scene,
-        resolution=f"{W}x{H}",
-        frame_ms=round(dt * 1e3, 1),
-        fps=round(1.0 / dt, 2),
-        mrays_per_s=round(W * H * 2 / dt / 1e6, 1),
-    )
+        return dt
+
+    ext_poses = []
+    for i in range(4):
+        cam = Camera(theta=0.8 + 0.05 * i, phi=0.5 + 0.4 * i, radius=0.8 * extent)
+        cam.set_target(center)
+        ext_poses.append(cam)
+    measure(ext_poses, "exterior")
+
+    # fly-THROUGH: eyes inside the scene bounds (forward half-volume sweep)
+    int_poses = []
+    for i in range(2):
+        tgt = center + np.array([0.25 * extent, 0.0, 0.0], np.float32)
+        cam = Camera(theta=0.04, phi=1.45 + 0.02 * i, radius=0.22 * extent,
+                     target=tgt.astype(np.float32))
+        pos = cam.get_pos()
+        inside = bool(((pos > wmin) & (pos < wmax)).all())
+        if inside:
+            int_poses.append(cam)
+    if int_poses:
+        measure(int_poses, "interior")
 
 
 def config6():
@@ -313,7 +335,14 @@ def config6():
     extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
     center = np.asarray(building_center(g))
 
-    for W, H in ((512, 512), (1920, 1088)):
+    # Honest ceiling note: the per-ray trilinear-gather formulation runs
+    # at the TPU scalar-gather floor (~80 gathers/step/ray at ~8 ns) —
+    # measured 26.6 s/frame at 256x256 on Calgary — and the 512x512
+    # program crashes this runtime's compiler. Measured small so the
+    # number is on the record; the production interactive path for this
+    # scene is the slab-sweep frame (config 5). Restructuring the
+    # raymarcher onto sweep-resampled buffers is the roadmap item.
+    for W, H in ((128, 128), (256, 256)):
         def frame(i):
             cam = Camera(theta=0.9 + 0.01 * i, phi=0.8 - 0.005 * i,
                          radius=0.75 * extent)
@@ -322,7 +351,7 @@ def config6():
 
         img = frame(0)
         jax.block_until_ready(img)
-        n = 5
+        n = 2
         t0 = time.perf_counter()
         outs = [frame(1 + i) for i in range(n)]
         jax.block_until_ready(outs)
@@ -332,8 +361,8 @@ def config6():
             scene=scene,
             resolution=f"{W}x{H}",
             frame_ms=round(dt * 1e3, 1),
-            fps=round(1.0 / dt, 2),
-            mrays_per_s=round(W * H / dt / 1e6, 3),
+            fps=round(1.0 / dt, 4),
+            mrays_per_s=round(W * H / dt / 1e6, 4),
         )
 
 

@@ -26,7 +26,8 @@ import jax as _jax
 # it for every program (measured: the 1080p frame alone costs ~190 s of
 # compiles cold, ~0 s cached). Opt out with RTO_TPU_NO_COMPILE_CACHE=1 or
 # point JAX_COMPILATION_CACHE_DIR elsewhere.
-if not _os.environ.get("RTO_TPU_NO_COMPILE_CACHE"):
+if not _os.environ.get("RTO_TPU_NO_COMPILE_CACHE") \
+        and _os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
     _cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.join(_os.path.expanduser("~"), ".cache", "rto_tpu_xla"),

@@ -184,11 +184,10 @@ class OctreeRayTracer:
             from ray_tracing_octrees_tpu.trace.slab_sweep import render_fast_frame
 
             self._ensure_fast()
-            if _eye_inside_volume(
-                self.grid_origin, float(self.voxel_size),
-                self._fast_vol.shape, camera.get_pos(),
-            ):
-                fast = False  # interior cameras use the exact tracer
+            # Interior cameras stay on the fast path: _sweep_geometry
+            # sweeps the forward half-volume from the eye's slab
+            # (fly-throughs previously fell back to the exact tracer at
+            # ~0.2 Mrays/s).
         if fast:
             return render_fast_frame(
                 self._fast_vol,

@@ -663,21 +663,26 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
 def _scene_sweep_setup(scene: MCMeshScene, camera_pos, view,
                        fov_deg: float, aspect: float,
                        inter_h: int, inter_w: int):
-    axis_world, flip, (S, A, B), eyes, window = _sweep_geometry(
+    axis_world, flip, (S, A, B), eyes, window, crop_lo = _sweep_geometry(
         scene.case_vol, np.asarray(scene.origin), scene.voxel_size,
         camera_pos, view,
     )
-    case_sw = _layout_volume(scene.case_vol, axis_world, flip, S, A, B)
+    case_sw = _layout_volume(scene.case_vol, axis_world, flip, S, A, B,
+                             crop_lo)
     shadow_sw = None
     if scene.shadow_cell is not None:
         from ray_tracing_octrees_tpu.trace.slab_sweep import _shadow_relayout
 
         shadow_sw = _shadow_relayout(scene.shadow_cell, axis_world,
-                                     bool(flip), case_sw.shape[0], A, B)
+                                     bool(flip), case_sw.shape[0], A, B,
+                                     crop_lo=crop_lo, s_keep=S)
+    origin_c = np.asarray(scene.origin, np.float32) + np.asarray(
+        _AXIS_SELECTORS[axis_world][0], np.float32
+    ) * (crop_lo * float(scene.voxel_size))
     scal_np = _frame_scalars_np(
         *eyes[:3], eyes[3], *window, fov_deg, aspect,
         float(scene.voxel_size), S,
-        np.asarray(scene.origin, np.float32),
+        origin_c,
         np.asarray(camera_pos, np.float32), view,
     )
     # static footprint width: |slope| <= 1 everywhere -> 2x2 (4 distinct

@@ -269,33 +269,56 @@ def _warp_values(packed, lin, inter_h: int, inter_w: int,
 
 
 def _sweep_geometry(volume, grid_origin, voxel_size, camera_pos, view):
-    """Host-side sweep configuration: axis, flip, eye coords, window."""
+    """Host-side sweep configuration: axis, flip, eye coords, window, crop.
+
+    The factorization needs the eye outside the slab range along the
+    sweep axis. Exterior cameras pick the most view-aligned axis that
+    satisfies it. INTERIOR cameras (fly-throughs) sweep only the
+    forward half-volume along the most view-aligned axis: slabs past the
+    eye's own slab in the look direction, with the returned ``crop_lo``
+    offset cropped out of the layout. The reference's fragment marcher
+    handles interior eyes with tNear = max(tNear, 0)
+    (raycastFS.glsl:571); here the analog drops (a) the eye's own ~1-slab
+    layer and (b) rays pointing backward along the sweep axis (outside
+    the forward frustum cone for any camera whose look direction
+    dominates the axis — they report miss). Exterior cameras keep
+    crop_lo == 0 and behave exactly as before.
+    """
     look = -np.asarray(view)[2, :3]
     axis_world = int(np.argmax(np.abs(look)))
     cam_vox = (
         np.asarray(camera_pos, np.float64) - np.asarray(grid_origin, np.float64)
     ) / float(voxel_size)
-    # The factorization needs the eye outside the slab range along the sweep
-    # axis; pick any axis that satisfies it (prefer the most view-aligned).
     dz_, dy_, dx_ = volume.shape[:3]
     exts = {0: dx_, 1: dy_, 2: dz_}
     order = list(np.argsort(-np.abs(look)))
+    crop_lo = 0
+    s_keep = None
     for ax in order:
         e = float(cam_vox @ np.asarray(_AXIS_SELECTORS[int(ax)][0], np.float64))
         if e < 0.0 or e > exts[int(ax)]:
             axis_world = int(ax)
             break
     else:
-        raise ValueError(
-            "slab sweep requires the eye outside the volume along some axis; "
-            "use trace_octree for interior cameras"
-        )
+        # interior eye: forward half-volume along the most-aligned axis
+        axis_world = int(order[0])
+        sel0 = np.asarray(_AXIS_SELECTORS[axis_world][0], np.float64)
+        e = float(cam_vox @ sel0)
+        s_full = exts[axis_world]
+        if float(look @ sel0) >= 0.0:
+            crop_lo = min(int(np.floor(e)) + 1, s_full - 1)
+            s_keep = s_full - crop_lo
+        else:
+            crop_lo = 0
+            s_keep = max(int(np.floor(e)), 1)
     sel = _AXIS_SELECTORS[axis_world]
-    eye_s = float(cam_vox @ np.asarray(sel[0], np.float64))
+    eye_s = float(cam_vox @ np.asarray(sel[0], np.float64)) - crop_lo
     eye_a = float(cam_vox @ np.asarray(sel[1], np.float64))
     eye_b = float(cam_vox @ np.asarray(sel[2], np.float64))
     dz, dy, dx = volume.shape[:3]
     S, A, B = {0: (dx, dy, dz), 1: (dy, dx, dz), 2: (dz, dx, dy)}[axis_world]
+    if s_keep is not None:
+        S = s_keep
     flip = eye_s > S / 2
     k0 = (S - 1.0) if flip else 0.0
     z0 = k0 + 0.5
@@ -305,13 +328,17 @@ def _sweep_geometry(volume, grid_origin, voxel_size, camera_pos, view):
     a_max = max(float(A), (float(A) - eye_a) * s_far + eye_a)
     b_min = min(0.0, (0.0 - eye_b) * s_far + eye_b)
     b_max = max(float(B), (float(B) - eye_b) * s_far + eye_b)
-    return axis_world, flip, (S, A, B), (eye_s, eye_a, eye_b, z0), (a_min, a_max, b_min, b_max)
+    return (axis_world, flip, (S, A, B), (eye_s, eye_a, eye_b, z0),
+            (a_min, a_max, b_min, b_max), crop_lo)
 
 
-def _layout_volume(volume, axis_world, flip, S, A, B):
-    """bf16 sweep-order volume, padded to the chunk size; cached per scene."""
+def _layout_volume(volume, axis_world, flip, S, A, B, crop_lo=0):
+    """bf16 sweep-order volume, padded to the chunk size; cached per scene.
+
+    ``crop_lo``/``S`` crop the sweep axis to [crop_lo, crop_lo + S) in
+    unflipped sweep order (the interior-camera forward half-volume)."""
     CH = 32
-    key = (id(volume), axis_world, flip)
+    key = (id(volume), axis_world, flip, crop_lo, S)
     vol_bf = _LAYOUT_CACHE.get(key)
     if vol_bf is None:
         vol_zyx = jnp.asarray(volume, jnp.float32)
@@ -321,6 +348,8 @@ def _layout_volume(volume, axis_world, flip, S, A, B):
             vol = jnp.transpose(vol_zyx, (1, 2, 0))
         else:
             vol = jnp.transpose(vol_zyx, (0, 2, 1))
+        if crop_lo or S != vol.shape[0]:
+            vol = vol[crop_lo : crop_lo + S]
         if flip:
             vol = vol[::-1]
         s_pad = (-S) % CH
@@ -356,14 +385,17 @@ def sweep_first_hit(
     N = width*height, pixel order row-major from the top row.
     """
     f32 = jnp.float32
-    axis_world, flip, (S, A, B), eyes, window = _sweep_geometry(
+    axis_world, flip, (S, A, B), eyes, window, crop_lo = _sweep_geometry(
         volume, grid_origin, voxel_size, camera_pos, view
     )
-    vol_bf = _layout_volume(volume, axis_world, flip, S, A, B)
+    vol_bf = _layout_volume(volume, axis_world, flip, S, A, B, crop_lo)
     sp = vol_bf.shape[0]
+    origin_c = np.asarray(grid_origin, np.float32) + np.asarray(
+        _AXIS_SELECTORS[axis_world][0], np.float32
+    ) * (crop_lo * float(voxel_size))
     scal_np = _frame_scalars_np(
         *eyes[:3], eyes[3], *window, fov_deg, aspect, float(voxel_size), S,
-        np.asarray(grid_origin, np.float32), np.asarray(camera_pos, np.float32),
+        origin_c, np.asarray(camera_pos, np.float32),
         view,
     )
     scal = jnp.asarray(scal_np)
@@ -610,14 +642,17 @@ def render_fast_frame(
     keeps each stage its own program (useful for stage timing). No host
     synchronization either way, so back-to-back frames pipeline.
     """
-    axis_world, flip, (S, A, B), eyes, window = _sweep_geometry(
+    axis_world, flip, (S, A, B), eyes, window, crop_lo = _sweep_geometry(
         volume, grid_origin, voxel_size, camera_pos, view
     )
-    vol_bf = _layout_volume(volume, axis_world, flip, S, A, B)
+    vol_bf = _layout_volume(volume, axis_world, flip, S, A, B, crop_lo)
     sp = vol_bf.shape[0]
+    origin_c = np.asarray(grid_origin, np.float32) + np.asarray(
+        _AXIS_SELECTORS[axis_world][0], np.float32
+    ) * (crop_lo * float(voxel_size))
     scal_np = _frame_scalars_np(
         *eyes[:3], eyes[3], *window, fov_deg, aspect, float(voxel_size), S,
-        np.asarray(grid_origin, np.float32), np.asarray(camera_pos, np.float32),
+        origin_c, np.asarray(camera_pos, np.float32),
         view, light_dir, base_color, ambient,
     )
     scal = jnp.asarray(scal_np)
@@ -630,10 +665,11 @@ def render_fast_frame(
         return _frame_fused(
             vol_bf, sh_arg, scal, sp // 32, S, A, B,
             inter_h, inter_w, bool(flip), axis_world, width, height,
-            has_shadow, warp_cfg,
+            has_shadow, warp_cfg, crop_lo=crop_lo, s_keep=S,
         )
 
-    shv = _shadow_relayout(sh_arg, axis_world, bool(flip), sp, A, B) \
+    shv = _shadow_relayout(sh_arg, axis_world, bool(flip), sp, A, B,
+                           crop_lo=crop_lo, s_keep=S) \
         if has_shadow else None
     packed = _sweep_all(
         vol_bf, scal, sp // 32, S, A, B, inter_h, inter_w, bool(flip),
@@ -649,7 +685,7 @@ def render_fast_frame(
 
 
 def _relayout_sweep(sh, axis_world: int, flip: bool, sp: int, a_size: int,
-                    b_size: int):
+                    b_size: int, crop_lo: int = 0, s_keep: int = 0):
     """(Z, Y, X) -> padded bf16 sweep order; traceable (used in-jit)."""
     if axis_world == 0:
         shv = jnp.transpose(sh, (2, 1, 0))
@@ -657,6 +693,8 @@ def _relayout_sweep(sh, axis_world: int, flip: bool, sp: int, a_size: int,
         shv = jnp.transpose(sh, (1, 2, 0))
     else:
         shv = jnp.transpose(sh, (0, 2, 1))
+    if crop_lo or (s_keep and s_keep != shv.shape[0]):
+        shv = shv[crop_lo : crop_lo + (s_keep or shv.shape[0])]
     if flip:
         shv = shv[::-1]
     pad = sp - shv.shape[0]
@@ -667,24 +705,27 @@ def _relayout_sweep(sh, axis_world: int, flip: bool, sp: int, a_size: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("axis_world", "flip", "sp", "a_size", "b_size"))
+    jax.jit, static_argnames=("axis_world", "flip", "sp", "a_size", "b_size",
+                              "crop_lo", "s_keep"))
 def _shadow_relayout(sh, axis_world: int, flip: bool, sp: int, a_size: int,
-                     b_size: int):
-    return _relayout_sweep(sh, axis_world, flip, sp, a_size, b_size)
+                     b_size: int, crop_lo: int = 0, s_keep: int = 0):
+    return _relayout_sweep(sh, axis_world, flip, sp, a_size, b_size,
+                           crop_lo, s_keep)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
                      "inter_w", "flip", "axis_world", "width", "height",
-                     "has_shadow", "warp_cfg"),
+                     "has_shadow", "warp_cfg", "crop_lo", "s_keep"),
 )
 def _frame_fused(vol_bf, shadow_native, scal, n_chunks, s_valid, a_size,
                  b_size, inter_h, inter_w, flip, axis_world, width, height,
-                 has_shadow, warp_cfg=None):
+                 has_shadow, warp_cfg=None, crop_lo=0, s_keep=0):
     """The whole frame in one XLA program (sweep, Pallas warp, shade)."""
     shv = _relayout_sweep(shadow_native, axis_world, flip,
-                          vol_bf.shape[0], a_size, b_size) \
+                          vol_bf.shape[0], a_size, b_size,
+                          crop_lo, s_keep) \
         if has_shadow else None
     packed = _sweep_all(
         vol_bf, scal, n_chunks, s_valid, a_size, b_size, inter_h, inter_w,

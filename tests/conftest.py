@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# No persistent compile cache for CPU test runs: replayed CPU AOT entries
+# warn about host-feature mismatches and risk SIGILL (the cache exists for
+# the remote-compile TPU runtime).
+os.environ.setdefault("RTO_TPU_NO_COMPILE_CACHE", "1")
 
 import jax  # noqa: E402
 

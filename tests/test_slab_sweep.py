@@ -117,3 +117,60 @@ def test_shadow_volume_directional():
     # diagonal light
     sv = np.asarray(shadow_volume(vol, (1.0, 1.0, 0.0)))
     assert sv[8, 4, 4] > 0.25  # along -x,-y from the blocker
+
+
+def test_interior_camera_forward_halfvolume():
+    """Fly-through: eye INSIDE the volume bounds sweeps the forward
+    half-volume instead of raising / falling back; forward rays match the
+    exact tracer."""
+    import jax.numpy as jnp
+    from ray_tracing_octrees_tpu.core.grid import make_sphere_grid
+    from ray_tracing_octrees_tpu.core.octree import build_pyramid
+    from ray_tracing_octrees_tpu.render.camera import Camera, generate_rays
+    from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree
+    from ray_tracing_octrees_tpu.trace.slab_sweep import (
+        _sweep_geometry, sweep_first_hit,
+    )
+
+    g = make_sphere_grid(64)
+    vol = (jnp.asarray(g.occ) > 0).astype(jnp.float32)
+    # eye in the empty core (world center ~0, volume spans [-0.5, 0.5])
+    # looking +z-ish toward the inner shell
+    cam = Camera(theta=0.05, phi=0.1, radius=0.05,
+                 target=np.array([0.0, 0.0, 0.3], np.float32))
+    pos = cam.get_pos()
+    assert (np.abs(pos) < 0.4).all(), pos   # genuinely interior
+
+    geo = _sweep_geometry(vol, np.asarray(g.origin), float(g.voxel_size),
+                          pos, cam.get_view())
+    crop_lo = geo[5]
+    assert crop_lo > 0 or geo[2][0] < vol.shape[0]  # half-volume engaged
+
+    W = H = 96
+    hit, t, point, dirs = sweep_first_hit(
+        vol, g.origin, g.voxel_size, pos, cam.get_view(), 45.0, 1.0, W, H,
+        inter_h=256, inter_w=256,
+    )
+    hit = np.asarray(hit)
+    assert hit.mean() > 0.5   # the shell surrounds the eye ahead
+
+    pyr = build_pyramid(g.occ)
+    o, d = generate_rays(W, H, jnp.asarray(pos, jnp.float32),
+                         jnp.asarray(cam.get_view(), jnp.float32), 45.0, 1.0)
+    ref = trace_octree(pyr, o, d, g.origin, g.voxel_size)
+    r_hit = np.asarray(ref["hit"])
+    r_t = np.asarray(ref["t"])
+
+    # compare only rays going forward along the chosen sweep axis — the
+    # documented approximation drops backward rays and the eye's own slab
+    axis = geo[0]
+    d_np = np.asarray(d)
+    sel_axis = {0: 0, 1: 1, 2: 2}[axis]
+    fwd = np.abs(d_np[:, sel_axis]) > 0.35 * np.abs(d_np).max(axis=1)
+    mism = (hit != r_hit) & fwd
+    assert mism.mean() < 0.03, mism.mean()
+    both = hit & r_hit & fwd
+    terr = np.abs(np.asarray(t)[both] - r_t[both])
+    # voxel-granularity agreement (nearest-cell sweep sampling)
+    vs = float(np.asarray(g.voxel_size))
+    assert np.quantile(terr, 0.95) < 2.5 * vs

@@ -86,7 +86,7 @@ def test_plan_warp_typical_pose():
     grid = make_sphere_grid(64)
     vol = (np.asarray(grid.occ) > 0).astype(np.float32)
     cam = Camera(theta=0.4, phi=0.7, radius=3.0)
-    aw, flip, (S, A, B), eyes, window = _sweep_geometry(
+    aw, flip, (S, A, B), eyes, window, _crop = _sweep_geometry(
         vol, grid.origin, grid.voxel_size, cam.get_pos(), cam.get_view())
     scal = _frame_scalars_np(
         *eyes[:3], eyes[3], *window, 45.0, 1.0, float(grid.voxel_size), S,

@@ -171,7 +171,7 @@ def main():
     for i in range(4):
         cam = Camera(theta=0.9 + 0.02 * i, phi=0.8, radius=0.75 * extent)
         cam.set_target(tgt)
-        aw, flip, (S, A, B), eyes, window = ss._sweep_geometry(
+        aw, flip, (S, A, B), eyes, window, _crop = ss._sweep_geometry(
             vol, grid.origin, grid.voxel_size, cam.get_pos(), cam.get_view())
         vol_bf = ss._layout_volume(vol, aw, flip, S, A, B)
         sp = vol_bf.shape[0]

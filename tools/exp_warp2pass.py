@@ -163,7 +163,7 @@ def main():
     extent = float(np.max(np.asarray(grid.world_max) - np.asarray(grid.world_min)))
     cam = Camera(theta=0.9, phi=0.8, radius=0.75 * extent)
     cam.set_target(np.asarray(building_center(grid)))
-    aw, flip, (S, A, B), eyes, window = ss._sweep_geometry(
+    aw, flip, (S, A, B), eyes, window, _crop = ss._sweep_geometry(
         vol, grid.origin, grid.voxel_size, cam.get_pos(), cam.get_view())
     vol_bf = ss._layout_volume(vol, aw, flip, S, A, B)
     sp = vol_bf.shape[0]

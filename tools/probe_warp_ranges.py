@@ -68,7 +68,7 @@ def main():
         cam = Camera(**pz)
         cam.set_target(tgt)
         try:
-            aw, flip, (S, A, B), eyes, window = ss._sweep_geometry(
+            aw, flip, (S, A, B), eyes, window, _crop = ss._sweep_geometry(
                 vol, grid.origin, grid.voxel_size, cam.get_pos(), cam.get_view())
         except ValueError:
             print(f"pose {pz}: interior camera, skipped")

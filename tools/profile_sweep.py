@@ -53,7 +53,7 @@ def main():
     to_light = (0.5, 0.9, 0.4)
     light_dir = tuple(-c for c in to_light)
 
-    axis_world, flip, (S, A, B), eyes, window = ss._sweep_geometry(
+    axis_world, flip, (S, A, B), eyes, window, _crop = ss._sweep_geometry(
         vol, grid.origin, grid.voxel_size, cam.get_pos(), cam.get_view())
     print(f"sweep axis={axis_world} flip={flip} S={S} A={A} B={B}", flush=True)
     vol_bf = ss._layout_volume(vol, axis_world, flip, S, A, B)
