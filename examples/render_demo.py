@@ -2,8 +2,8 @@
 
 Usage: python examples/render_demo.py [outdir]
 Uses the Calgary scene when /root/reference/sceneCache.bin exists, else the
-sphere. Extraction modes render via the point-splat preview; ray modes
-render their native images.
+sphere. Extraction modes render filled Phong triangles (render/raster.py,
+test.frag parity); ray modes render their native images.
 """
 
 from __future__ import annotations
