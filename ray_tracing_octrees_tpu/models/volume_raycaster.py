@@ -70,6 +70,43 @@ def _working_volume(occ, origin, voxel_size, view_proj, margin):
     return jnp.where(vis_vox, (occ > 0).astype(jnp.float32), 0.0)
 
 
+def _working_volume_octree(occ, tree, origin, voxel_size, view_proj, margin):
+    """EXACT octree-visibility working volume.
+
+    The reference's alternative culling path (optimizedFrustumCulling /
+    markVisibleNodesOnly / updateWorkingVolumeWithVisibility,
+    VolumeRaycastRenderer.cpp:1068-1139, 1484-1580): frustum-classify the
+    octree nodes, then keep only voxels under VISIBLE SOLID LEAVES —
+    node-exact instead of the 8^3-cell grid of `_working_volume`.
+
+    Node extents paint per level (static size per level, one scatter +
+    nearest-upsample each) into the padded 2^L cube, cropped to dims.
+    """
+    import numpy as _np
+
+    from ray_tracing_octrees_tpu.render.frustum import visible_node_mask
+
+    vis = visible_node_mask(tree, origin, voxel_size, view_proj, margin)
+    keep = vis & tree.is_leaf & tree.is_solid
+    dz, dy, dx = occ.shape
+    P = int(1 << int(np.ceil(np.log2(max(dx, dy, dz)))))
+    level_np = _np.asarray(tree.level)
+    mask = jnp.zeros((dz, dy, dx), bool)
+    for k in sorted(set(level_np.tolist())):
+        ids = _np.nonzero(level_np == k)[0]
+        s = 1 << int(k)
+        g = P // s
+        ids_j = jnp.asarray(ids, jnp.int32)
+        kx = tree.x[ids_j] // s
+        ky = tree.y[ids_j] // s
+        kz = tree.z[ids_j] // s
+        lvl = jnp.zeros((g, g, g), bool).at[kz, ky, kx].max(
+            keep[ids_j], mode="drop")
+        up = jnp.repeat(jnp.repeat(jnp.repeat(lvl, s, 0), s, 1), s, 2)
+        mask = mask | up[:dz, :dy, :dx]
+    return jnp.where(mask, (occ > 0).astype(jnp.float32), 0.0)
+
+
 @dataclasses.dataclass
 class VolumeRaycastRenderer:
     """Stateful pipeline wrapper (init/draw/carve APIs mirror the reference)."""
@@ -138,17 +175,25 @@ class VolumeRaycastRenderer:
         self.textures = dataclasses.replace(tex, indirect=ind)
 
     # -- frustum culling (updateFrustumCulling, .cpp:1367-1481) --------------------
-    def update_frustum_culling(self, camera: Camera, aspect: float):
+    def update_frustum_culling(self, camera: Camera, aspect: float,
+                               tree=None):
+        """8^3-cell working volume by default; pass ``tree`` (LinearOctree)
+        for the reference's exact octree-visibility variant
+        (optimizedFrustumCulling, .cpp:1068-1139, 1484-1580)."""
         cfg = self.config.raymarch
         view = camera.get_view()
         proj = perspective(cfg.frustum_fov_narrow_deg, aspect, 0.01, 5000.0)
-        working = _working_volume(
-            self.grid.occ,
-            self.grid.origin,
-            self.grid.voxel_size,
-            jnp.asarray(proj @ view, jnp.float32),
-            jnp.float32(20.0),
-        )
+        vp = jnp.asarray(proj @ view, jnp.float32)
+        if tree is not None:
+            working = _working_volume_octree(
+                self.grid.occ, tree, self.grid.origin,
+                self.grid.voxel_size, vp, jnp.float32(20.0),
+            )
+        else:
+            working = _working_volume(
+                self.grid.occ, self.grid.origin, self.grid.voxel_size,
+                vp, jnp.float32(20.0),
+            )
         self.textures = dataclasses.replace(self.textures, working=working)
         self.prev_cam_pos = camera.get_pos()
         self.prev_look_dir = camera.get_look_dir()
