@@ -4,6 +4,9 @@ from ray_tracing_octrees_tpu.parallel.sharding import (
     render_image_sharded,
     marching_cubes_halo,
 )
+from ray_tracing_octrees_tpu.parallel.pipeline import (
+    render_fast_frames_pipelined,
+)
 from ray_tracing_octrees_tpu.parallel.distributed import (
     initialize_distributed,
     local_slice,
@@ -15,6 +18,7 @@ __all__ = [
     "trace_sharded",
     "render_image_sharded",
     "marching_cubes_halo",
+    "render_fast_frames_pipelined",
     "initialize_distributed",
     "local_slice",
 ]

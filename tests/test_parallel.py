@@ -123,3 +123,36 @@ def test_initialize_distributed_single_process_noop():
     assert initialize_distributed() is False   # no coordinator configured
     s = local_slice(100)
     assert s == slice(0, 100)
+
+
+def test_pipelined_frames_match_per_frame():
+    """2-stage pipelined sequence == per-pose render_fast_frame."""
+    import jax.numpy as jnp
+    from ray_tracing_octrees_tpu.core.grid import make_sphere_grid
+    from ray_tracing_octrees_tpu.parallel.pipeline import (
+        render_fast_frames_pipelined,
+    )
+    from ray_tracing_octrees_tpu.render.camera import Camera
+    from ray_tracing_octrees_tpu.trace.slab_sweep import (
+        render_fast_frame, shadow_volume,
+    )
+
+    g = make_sphere_grid(32)
+    vol = (jnp.asarray(g.occ) > 0).astype(jnp.float32)
+    sv = shadow_volume(vol, (0.5, 0.9, 0.4))
+    poses = []
+    for i in range(3):
+        cam = Camera(theta=0.4 + 0.1 * i, phi=0.7, radius=2.0)
+        poses.append((cam.get_pos(), cam.get_view()))
+    W = H = 64
+    frames = render_fast_frames_pipelined(
+        vol, sv, g.origin, g.voxel_size, poses, 45.0, 1.0, W, H,
+        light_dir=(-0.5, -0.9, -0.4), inter_h=128, inter_w=128,
+    )
+    assert len(frames) == 3
+    for (pos, view), f in zip(poses, frames):
+        ref = render_fast_frame(
+            vol, sv, g.origin, g.voxel_size, pos, view, 45.0, 1.0, W, H,
+            light_dir=(-0.5, -0.9, -0.4), inter_h=128, inter_w=128,
+        )
+        np.testing.assert_allclose(np.asarray(f), np.asarray(ref), atol=1e-5)
