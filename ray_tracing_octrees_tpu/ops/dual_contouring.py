@@ -395,6 +395,104 @@ def _node_centers(tree, grid: VoxelGrid):
     return corner + 0.5 * tree.size[:, None].astype(jnp.float32) * grid.voxel_size
 
 
+@functools.partial(jax.jit, static_argnames=("s", "max_ratio"))
+def _pass0_level(grid, tree, ids_j, n_real, node_mask, need_vertex,
+                 s: int, max_ratio: float):
+    """One level of DC pass 0 as a single program.
+
+    surface classification + per-direction min-corner crossing edges +
+    size-ratio-gated adjacent-leaf lookups (createTriangles' neighbor
+    gather, AdaptiveDualContouringRenderer.cpp:683-685) + need-vertex
+    scatter accumulation (including boundary-fan face neighbors).
+
+    Returns (surf bool[P], adj_per_dir [3 x (crossing, [(nid, ok) x 3])],
+    need_vertex')."""
+    n_nodes = tree.num_nodes
+    cx = tree.x[ids_j]
+    cy = tree.y[ids_j]
+    cz = tree.z[ids_j]
+    surf = cell_contains_surface(grid, cx, cy, cz, s)
+    surf = surf & (jnp.arange(ids_j.shape[0]) < n_real)
+    if node_mask is not None:
+        surf = surf & node_mask[ids_j]
+
+    dims = grid.dims_xyz
+    adj_per_dir = []
+    for d in range(3):
+        ax = _AXES[d]
+        ex2 = cx + s * ax[0]
+        ey2 = cy + s * ax[1]
+        ez2 = cz + s * ax[2]
+        inb = (
+            (cx >= 0) & (cy >= 0) & (cz >= 0)
+            & (cx < dims[0]) & (cy < dims[1]) & (cz < dims[2])
+            & (ex2 >= 0) & (ey2 >= 0) & (ez2 >= 0)
+            & (ex2 < dims[0]) & (ey2 < dims[1]) & (ez2 < dims[2])
+        )
+        f1 = grid.sample_safe(cx, cy, cz) > 0
+        f2 = grid.sample_safe(ex2, ey2, ez2) > 0
+        crossing = surf & inb & (f1 != f2)
+
+        a1, a2 = _PERP[d]
+        adj_info = []
+        for da1, da2 in ((1, 0), (0, 1), (1, 1)):
+            off = np.zeros(3, np.int32)
+            off[a1] = da1 * s
+            off[a2] = da2 * s
+            ax_ = cx - off[0]
+            ay_ = cy - off[1]
+            az_ = cz - off[2]
+            inb_a = (
+                (ax_ >= 0) & (ay_ >= 0) & (az_ >= 0)
+                & (ax_ < dims[0]) & (ay_ < dims[1]) & (az_ < dims[2])
+            )
+            nid = tree.find_node(ax_, ay_, az_)
+            nid_c = jnp.clip(nid, 0, n_nodes - 1)
+            ok = (
+                inb_a
+                & (nid >= 0)
+                & tree.is_leaf[nid_c]
+                & (
+                    jnp.maximum(s, tree.size[nid_c])
+                    <= jnp.minimum(s, tree.size[nid_c]) * max_ratio
+                )
+                & crossing
+            )
+            adj_info.append((jnp.where(ok, nid, -1), ok))
+        adj_per_dir.append((crossing, adj_info))
+
+    # need-vertex: surface leaves + valid adjacents (`max` = scatter-OR;
+    # padded duplicate ids must not clobber True with False)
+    need_vertex = need_vertex.at[ids_j].max(surf, mode="drop")
+    for crossing, adj_info in adj_per_dir:
+        for nid, ok in adj_info:
+            nid_c = jnp.clip(nid, 0, n_nodes - 1)
+            need_vertex = need_vertex.at[nid_c].max(ok, mode="drop")
+
+    # potential boundary-fan participants: face neighbors of boundary
+    # surface leaves also need their (own-size) dual vertex
+    at_boundary = (
+        (cx == 0) | (cy == 0) | (cz == 0)
+        | (cx + s >= dims[0]) | (cy + s >= dims[1]) | (cz + s >= dims[2])
+    )
+    fan_possible = surf & at_boundary
+    for fd in ([1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+               [0, 0, 1], [0, 0, -1]):
+        nx_ = cx + fd[0] * s
+        ny_ = cy + fd[1] * s
+        nz_ = cz + fd[2] * s
+        inb_f = (
+            (nx_ >= 0) & (ny_ >= 0) & (nz_ >= 0)
+            & (nx_ < dims[0]) & (ny_ < dims[1]) & (nz_ < dims[2])
+        )
+        nid = tree.find_node(nx_, ny_, nz_)
+        nid_c = jnp.clip(nid, 0, n_nodes - 1)
+        ok = fan_possible & inb_f & (nid >= 0) & tree.is_leaf[nid_c]
+        need_vertex = need_vertex.at[nid_c].max(ok, mode="drop")
+
+    return surf, adj_per_dir, need_vertex
+
+
 def adaptive_dual_contouring(
     grid: VoxelGrid,
     tree,
@@ -430,6 +528,9 @@ def adaptive_dual_contouring(
             [ids, _np.full(p - n, ids[0], ids.dtype)]), n
 
     # ---- pass 0: surface leaves & crossing edges per level ----------------------
+    # ONE jitted program per (level size, id bucket): the previous eager
+    # form dispatched ~100 ops per level, and on remote-compile TPU
+    # runtimes dispatch count is the warm-path cost.
     levels_present = sorted(set(level[leaf].tolist()))
     surface_by_level = {}
     need_vertex = jnp.zeros((n_nodes,), bool)
@@ -442,89 +543,13 @@ def adaptive_dual_contouring(
         ids, n_real = _pad_pow2(ids)
         ids_j = jnp.asarray(ids)
         s = 1 << k
-        cx = tree.x[ids_j]
-        cy = tree.y[ids_j]
-        cz = tree.z[ids_j]
-        surf = cell_contains_surface(grid, cx, cy, cz, s)
-        surf = surf & (jnp.arange(len(ids)) < n_real)
-        if node_mask is not None:
-            surf = surf & node_mask[ids_j]
-        surface_by_level[k] = (ids_j, surf)
-
-        # min-corner edges (the only non-degenerate case, see module doc)
-        dims = grid.dims_xyz
-        adj_per_dir = []
-        for d in range(3):
-            ax = _AXES[d]
-            ex2 = cx + s * ax[0]
-            ey2 = cy + s * ax[1]
-            ez2 = cz + s * ax[2]
-            inb = (
-                (cx >= 0) & (cy >= 0) & (cz >= 0)
-                & (cx < dims[0]) & (cy < dims[1]) & (cz < dims[2])
-                & (ex2 >= 0) & (ey2 >= 0) & (ez2 >= 0)
-                & (ex2 < dims[0]) & (ey2 < dims[1]) & (ez2 < dims[2])
-            )
-            f1 = grid.sample_safe(cx, cy, cz) > 0
-            f2 = grid.sample_safe(ex2, ey2, ez2) > 0
-            crossing = surf & inb & (f1 != f2)
-
-            a1, a2 = _PERP[d]
-            adj_info = []
-            for da1, da2 in ((1, 0), (0, 1), (1, 1)):
-                off = _np.zeros(3, _np.int32)
-                off[a1] = da1 * s
-                off[a2] = da2 * s
-                ax_ = cx - off[0]
-                ay_ = cy - off[1]
-                az_ = cz - off[2]
-                inb_a = (
-                    (ax_ >= 0) & (ay_ >= 0) & (az_ >= 0)
-                    & (ax_ < dims[0]) & (ay_ < dims[1]) & (az_ < dims[2])
-                )
-                nid = tree.find_node(ax_, ay_, az_)
-                nid_c = jnp.clip(nid, 0, n_nodes - 1)
-                ok = (
-                    inb_a
-                    & (nid >= 0)
-                    & tree.is_leaf[nid_c]
-                    & (
-                        jnp.maximum(s, tree.size[nid_c])
-                        <= jnp.minimum(s, tree.size[nid_c]) * dc_cfg.max_size_ratio
-                    )
-                    & crossing
-                )
-                adj_info.append((jnp.where(ok, nid, -1), ok))
-            adj_per_dir.append((crossing, adj_info))
-        adj_ids_by_level[k] = adj_per_dir
-
-        # need-vertex: surface leaves + valid adjacents (`max` = scatter-OR;
-        # padded duplicate ids must not clobber True with False)
-        need_vertex = need_vertex.at[ids_j].max(surf, mode="drop")
-        for crossing, adj_info in adj_per_dir:
-            for nid, ok in adj_info:
-                nid_c = jnp.clip(nid, 0, n_nodes - 1)
-                need_vertex = need_vertex.at[nid_c].max(ok, mode="drop")
-
-        # potential boundary-fan participants: face neighbors of boundary
-        # surface leaves also need their (own-size) dual vertex
-        at_boundary = (
-            (cx == 0) | (cy == 0) | (cz == 0)
-            | (cx + s >= dims[0]) | (cy + s >= dims[1]) | (cz + s >= dims[2])
+        mask_arg = node_mask if node_mask is not None else None
+        surf, adj_per_dir, need_vertex = _pass0_level(
+            grid, tree, ids_j, jnp.int32(n_real), mask_arg, need_vertex,
+            s=s, max_ratio=float(dc_cfg.max_size_ratio),
         )
-        fan_possible = surf & at_boundary
-        for fd in ([1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]):
-            nx_ = cx + fd[0] * s
-            ny_ = cy + fd[1] * s
-            nz_ = cz + fd[2] * s
-            inb_f = (
-                (nx_ >= 0) & (ny_ >= 0) & (nz_ >= 0)
-                & (nx_ < dims[0]) & (ny_ < dims[1]) & (nz_ < dims[2])
-            )
-            nid = tree.find_node(nx_, ny_, nz_)
-            nid_c = jnp.clip(nid, 0, n_nodes - 1)
-            ok = fan_possible & inb_f & (nid >= 0) & tree.is_leaf[nid_c]
-            need_vertex = need_vertex.at[nid_c].max(ok, mode="drop")
+        surface_by_level[k] = (ids_j, surf)
+        adj_ids_by_level[k] = adj_per_dir
 
     # ---- pass 1: dual vertices for all needed leaves, per level ------------------
     vertex = _node_centers(tree, grid)  # default: own-size cell center
