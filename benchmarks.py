@@ -367,6 +367,9 @@ def config6():
 
 
 def main():
+    from ray_tracing_octrees_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     picks = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5, 6]
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
            6: config6}

@@ -44,6 +44,10 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
     import jax
     import jax.numpy as jnp
 
+    from ray_tracing_octrees_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from ray_tracing_octrees_tpu.core.cache import load_voxel_grid
     from ray_tracing_octrees_tpu.core.grid import (
         make_sphere_grid,

@@ -169,6 +169,30 @@ DEFAULT_CONFIG = EngineConfig()
 # --------------------------------------------------------------------------
 
 
+def _field_default(f):
+    """Resolve a dataclass field's default, honoring default_factory."""
+    if f.default is not dataclasses.MISSING:
+        return f.default
+    if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+        return f.default_factory()  # type: ignore[misc]
+    raise TypeError(f"config field {f.name!r} has no default")
+
+
+def _convert_scalar(name, default, val):
+    """Convert a JSON/TOML value to the field's type, rejecting lossy casts."""
+    if isinstance(default, bool):
+        if isinstance(val, bool):
+            return val
+        raise TypeError(f"config field {name!r} expects a bool, got {val!r}")
+    if isinstance(default, int):
+        out = int(val)
+        if out != val:  # e.g. 1.9 for an int field: error, don't truncate
+            raise ValueError(
+                f"config field {name!r} expects an integer, got {val!r}")
+        return out
+    return type(default)(val)
+
+
 def _from_dict(cls, data: dict):
     """Recursively build a (frozen) config dataclass from a nested dict."""
     fields = {f.name: f for f in dataclasses.fields(cls)}
@@ -176,13 +200,14 @@ def _from_dict(cls, data: dict):
     for key, val in data.items():
         if key not in fields:
             raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
-        default = fields[key].default
+        default = _field_default(fields[key])
         if dataclasses.is_dataclass(default) and isinstance(val, dict):
             kw[key] = _from_dict(type(default), val)
         elif isinstance(default, tuple) and isinstance(val, (list, tuple)):
-            kw[key] = tuple(type(default[0])(v) for v in val)
+            kw[key] = tuple(
+                _convert_scalar(key, default[0], v) for v in val)
         else:
-            kw[key] = type(default)(val)
+            kw[key] = _convert_scalar(key, default, val)
     return cls(**kw)
 
 

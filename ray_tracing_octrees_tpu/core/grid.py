@@ -22,27 +22,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def host_fetch(x) -> np.ndarray:
-    """Device -> host fetch that sidesteps the slow narrow-dtype untiling.
+def _repack_rows(x, rows: int, wide):
+    """Jitted repack to a tile-aligned (rows, 128) 32-bit buffer."""
+    f = x.astype(wide).reshape(-1)
+    pad = rows * 128 - f.shape[0]
+    if pad:
+        f = jnp.concatenate([f, jnp.zeros((pad,), wide)])
+    return f.reshape(rows, 128)
 
-    uint8/bool arrays whose trailing dims are not tile aligned take
-    SECONDS PER MEGABYTE to fetch through the TPU runtime (measured 102 s
-    for the 3 MB Calgary occupancy at (29, 243, 425); the same values as
-    int32 fetch in 0.26 s — sub-32-bit untiling falls off the fast
-    path, and flat reshapes don't reliably escape it because XLA may keep
-    the source tiling). Upcasting to 32-bit on device first makes every
-    fetch take the fast path; the 4x transfer volume is irrelevant at
-    these sizes. No-op for arrays already on the host.
+
+_repack_rows_jit = jax.jit(_repack_rows, static_argnames=("rows", "wide"))
+
+# Below this many wide-bytes a direct fetch is cheap even on the slow
+# path, and skipping the repack avoids a per-shape program compile.
+_FETCH_REPACK_MIN_BYTES = 1 << 18
+
+
+def host_fetch(x) -> np.ndarray:
+    """Device -> host fetch that sidesteps the slow unaligned-shape untiling.
+
+    Fetches of arrays whose trailing dims are not tile aligned run at
+    SECONDS PER MEGABYTE through the tunneled TPU runtime: measured 102 s
+    for the 3 MB u8 Calgary occupancy at (29, 243, 425) in round 2, and in
+    round 3 even its int32 upcast fetched at 0.7 MB/s while an aligned
+    (N, 128) int32 buffer moved at ~25 MB/s. So fetch EVERYTHING through a
+    jitted repack: upcast to 32-bit (sub-32-bit untiling has its own slow
+    path), flatten, pad, and ship as (ceil(n/128), 128) — the repack is
+    device-side and free next to the transfer. No-op for host arrays;
+    small arrays fetch directly (repack would cost a per-shape compile).
     """
     if isinstance(x, np.ndarray):
         return x
     xj = jnp.asarray(x)
     dt = xj.dtype
-    if dt in (jnp.uint8, jnp.int8, jnp.uint16, jnp.int16, jnp.bool_):
-        return np.asarray(xj.astype(jnp.int32)).astype(dt)
-    if dt in (jnp.bfloat16, jnp.float16):
-        return np.asarray(xj.astype(jnp.float32)).astype(dt)
-    return np.asarray(xj)
+    if dt in (jnp.uint8, jnp.int8, jnp.uint16, jnp.int16, jnp.bool_,
+              jnp.int32, jnp.uint32):
+        wide = jnp.int32
+    elif dt in (jnp.bfloat16, jnp.float16, jnp.float32):
+        wide = jnp.float32
+    else:
+        return np.asarray(xj)
+    n = int(xj.size)
+    if n * 4 < _FETCH_REPACK_MIN_BYTES:
+        if wide == xj.dtype:
+            return np.asarray(xj)
+        return np.asarray(xj.astype(wide)).astype(dt)
+    rows = -(-n // 128)
+    flat = np.asarray(_repack_rows_jit(xj, rows, wide)).reshape(-1)[:n]
+    return flat.astype(dt).reshape(xj.shape)
 
 
 @jax.tree_util.register_dataclass

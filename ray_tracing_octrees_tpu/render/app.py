@@ -332,7 +332,12 @@ class Application:
                     rasterize_lines,
                 )
 
+                # Depth-test only against a z-buffer rasterized at THIS
+                # pose; a buffer from a previous pose (or from a mode
+                # that never rasterized) would occlude lines incorrectly.
                 zb = getattr(self, "_last_zbuf", None)
+                if getattr(self, "_last_zbuf_pose", None) != self._pose_token():
+                    zb = None
                 h, w = out["color"].shape[:2]
                 if zb is None or zb.shape != (h, w):
                     zb = jnp.full((h, w), 2.0, jnp.float32)
@@ -364,6 +369,7 @@ class Application:
             img = np.zeros((height, width, 4), np.float32)
             img[..., 3] = 1.0
             self._last_zbuf = None
+            self._last_zbuf_pose = None
             return img
         vp = jnp.asarray(
             self.camera.get_proj(width / height) @ self.camera.get_view(),
@@ -380,7 +386,13 @@ class Application:
             cam_pos=jnp.asarray(self.camera.get_pos(), jnp.float32),
         )
         self._last_zbuf = zbuf
+        self._last_zbuf_pose = self._pose_token()
         return np.asarray(img)
+
+    def _pose_token(self):
+        """Hashable camera-pose snapshot keying pose-dependent buffers."""
+        return tuple(
+            np.asarray(self.camera.get_view(), np.float64).ravel().tolist())
 
 
 def main(argv=None) -> None:
@@ -394,6 +406,9 @@ def main(argv=None) -> None:
 
     from ray_tracing_octrees_tpu.config import add_config_args, config_from_args
     from ray_tracing_octrees_tpu.render.image import write_png
+    from ray_tracing_octrees_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     p = argparse.ArgumentParser(prog="rto-render", description=main.__doc__)
     p.add_argument("--mode", default="OCTREE_RAYTRACE",

@@ -586,6 +586,25 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
     # Straggler compaction: the surviving rows (grazing rays crossing
     # many surface cells) iterate at 1/2 the footprint from here on.
     M = max(64, N // 2)
+
+    # If more than M rows are still unresolved, keep consuming at full
+    # resolution until the survivors fit the compacted footprint (bounded
+    # by the round budget) instead of silently dropping the overflow; any
+    # residual overflow is surfaced via the `overflow` stat.
+    stA["extra"] = jnp.zeros((), jnp.int32)
+
+    def condA(s):
+        return ((s["extra"] < max_rounds - n_a)
+                & (jnp.sum(~s["resolved"]) > M))
+
+    def bodyA(s):
+        s2 = consume_round(s, cand_osh, cand_p, geoA)
+        s2["extra"] = s["extra"] + 1
+        return s2
+
+    stA = jax.lax.while_loop(condA, bodyA, stA)
+    extra_a = stA["extra"]
+
     unres = ~stA["resolved"]
     n_unres = jnp.sum(unres)
     idxs = jnp.nonzero(unres, size=M, fill_value=N)[0]
@@ -608,7 +627,7 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
     stB["hist"] = hist
 
     def condB(s):
-        return ((s["rounds"] < max_rounds - n_a)
+        return ((s["rounds"] < max_rounds - n_a - extra_a)
                 & (jnp.sum(~s["resolved"]) > tol_texels))
 
     def bodyB(s):
@@ -643,13 +662,14 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
     nl = jnp.linalg.norm(nrm_w, axis=-1, keepdims=True)
     nrm_w = jnp.where(hit[:, None], nrm_w / jnp.maximum(nl, 1e-30), 0.0)
 
-    rounds = n_a + stB["rounds"]
+    rounds = n_a + extra_a + stB["rounds"]
     point = ro + rd * jnp.where(hit, t / jnp.maximum(rd_len, 1e-30),
                                 0.0)[:, None]
     return dict(
         hit=hit, t=jnp.where(hit, t, 0.0), normal=nrm_w,
         point=point, shadow=sh, case=case, tri=tri,
         rounds=rounds, unresolved=jnp.sum(~resolved),
+        overflow=jnp.maximum(n_unres - M, 0),
         blocked=stA["blocked"] + stB["blocked"],
         hist=stB["hist"], ray_o=ro, ray_d=rd,
     )

@@ -338,8 +338,12 @@ def _layout_volume(volume, axis_world, flip, S, A, B, crop_lo=0):
     ``crop_lo``/``S`` crop the sweep axis to [crop_lo, crop_lo + S) in
     unflipped sweep order (the interior-camera forward half-volume)."""
     CH = 32
+    # Keyed by id() but the entry pins the source volume alive, and a hit
+    # requires `src is volume` — so a GC'd volume whose id is reused can
+    # never be served a stale layout (ids are unique among live objects).
     key = (id(volume), axis_world, flip, crop_lo, S)
-    vol_bf = _LAYOUT_CACHE.get(key)
+    ent = _LAYOUT_CACHE.get(key)
+    vol_bf = ent[1] if ent is not None and ent[0] is volume else None
     if vol_bf is None:
         vol_zyx = jnp.asarray(volume, jnp.float32)
         if axis_world == 0:
@@ -358,7 +362,7 @@ def _layout_volume(volume, axis_world, flip, S, A, B, crop_lo=0):
         vol_bf = jax.block_until_ready(vol.astype(jnp.bfloat16))
         if len(_LAYOUT_CACHE) > 12:
             _LAYOUT_CACHE.clear()
-        _LAYOUT_CACHE[key] = vol_bf
+        _LAYOUT_CACHE[key] = (volume, vol_bf)
     return vol_bf
 
 
@@ -569,7 +573,8 @@ def shadow_volume(volume, light_dir):
     axis = int(np.argmax(np.abs(l)))
     inv = {0: (2, 1, 0), 1: (2, 0, 1), 2: (0, 2, 1)}[axis]
     ckey = (id(volume), "shadow", axis)
-    vol = _LAYOUT_CACHE.get(ckey)
+    ent = _LAYOUT_CACHE.get(ckey)
+    vol = ent[1] if ent is not None and ent[0] is volume else None
     if vol is None:
         vol_zyx = jnp.asarray(volume, jnp.float32)
         if axis == 0:
@@ -579,7 +584,7 @@ def shadow_volume(volume, light_dir):
         else:
             vol = jnp.transpose(vol_zyx, (0, 2, 1))       # (Z, X, Y)
         vol = jax.block_until_ready(vol)
-        _LAYOUT_CACHE[ckey] = vol
+        _LAYOUT_CACHE[ckey] = (volume, vol)
     sel = _AXIS_SELECTORS[axis]
     l_s = float(l @ sel[0])
     l_a = float(l @ sel[1])
@@ -722,7 +727,15 @@ def _shadow_relayout(sh, axis_world: int, flip: bool, sp: int, a_size: int,
 def _frame_fused(vol_bf, shadow_native, scal, n_chunks, s_valid, a_size,
                  b_size, inter_h, inter_w, flip, axis_world, width, height,
                  has_shadow, warp_cfg=None, crop_lo=0, s_keep=0):
-    """The whole frame in one XLA program (sweep, Pallas warp, shade)."""
+    """The whole frame in one XLA program (sweep, Pallas warp, shade).
+
+    With a planned ``warp_cfg`` the entire per-pixel half of the frame
+    (ray math + table lookup + shade) runs inside ONE Pallas kernel
+    (warp_kernel.warp_frame): the split XLA stages materialize [N, 3]
+    f32 intermediates that tile at ~42x their bytes, which made setup and
+    shade cost ~as much as the lookup itself. The fallback (no config /
+    non-TPU) keeps the reference XLA path.
+    """
     shv = _relayout_sweep(shadow_native, axis_world, flip,
                           vol_bf.shape[0], a_size, b_size,
                           crop_lo, s_keep) \
@@ -731,6 +744,17 @@ def _frame_fused(vol_bf, shadow_native, scal, n_chunks, s_valid, a_size,
         vol_bf, scal, n_chunks, s_valid, a_size, b_size, inter_h, inter_w,
         flip, shadow_sw=shv,
     )
+    if warp_cfg is not None:
+        from ray_tracing_octrees_tpu.trace.warp_kernel import (
+            frame_scalars_kernel, split_hi_lo, unpack_frame_rgb, warp_frame,
+        )
+
+        ty, tx, win = warp_cfg
+        t_hl = split_hi_lo(packed.reshape(inter_h, inter_w))
+        kscal = frame_scalars_kernel(scal, axis_world)
+        out = warp_frame(t_hl, kscal, ty, tx, win, axis_world,
+                         width, height, has_shadow)
+        return unpack_frame_rgb(out, width, height)
     lin, behind, dirs, d_s_n = _warp_setup(
         scal, axis_world, inter_h, inter_w, width, height
     )

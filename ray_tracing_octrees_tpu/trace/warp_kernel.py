@@ -185,6 +185,203 @@ def warp_lookup(t_hl, lin2d, ty: int, tx: int, win: int, n_planes: int = 2):
     )(t_hl, lin2d)
 
 
+# --------------------------------------------------------------------------
+# Fused frame kernel: ray gen + one-hot lookup + Lambert shade, one kernel
+# --------------------------------------------------------------------------
+#
+# The split pipeline (XLA _warp_setup -> Pallas lookup -> XLA _finish_shade)
+# pays for every [N, 3] per-pixel intermediate (dirs, points, normals):
+# narrow-minor-dim f32 arrays tile to T(8,128) at ~42x their logical bytes,
+# so the two elementwise stages measured ~1.9 ms each at 1080p — more than
+# the lookup itself. Fusing the whole per-pixel frame into the kernel keeps
+# every intermediate in registers: the per-pixel closed forms of
+# _warp_setup (ray -> table uv), the grouped one-hot MXU contraction, and
+# the shade() epilogue (reference semantics: RayTracerBVH.cpp:331-367,
+# normals normalize(p - cellCenter) per :283-287) emit one packed-RGB u32
+# per pixel, nothing else.
+
+# kscal layout for the fused kernel (f32[35], built in-jit per frame)
+_KS_AXF, _KS_TANH, _KS_EYE_S, _KS_EYE_A, _KS_EYE_B, _KS_Z0 = range(6)
+_KS_AMIN, _KS_SCA, _KS_BMIN, _KS_SCB, _KS_VOX = range(6, 11)
+_KS_ORG, _KS_CAM, _KS_L, _KS_BASE, _KS_AMB, _KS_R = 11, 14, 17, 20, 23, 26
+_KS_N = 35
+
+
+def _warp_frame_kernel(ty: int, tx: int, win: int, th: int, tw: int,
+                       n_planes: int, sab_idx, width: int, height: int,
+                       has_shadow: bool,
+                       scal_ref, t_ref, o_ref, a_scr):
+    """One (ty, tx) pixel tile: ray math + one-hot lookup + shade."""
+    f32 = jnp.float32
+    ks = lambda k: scal_ref[k]
+    yy = (pl.program_id(0) * ty
+          + jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 0)).astype(f32)
+    xx = (pl.program_id(1) * tx
+          + jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 1)).astype(f32)
+    nx = ((xx + 0.5) * (2.0 / width) - 1.0) * ks(_KS_AXF)
+    ny = (1.0 - (yy + 0.5) * (2.0 / height)) * ks(_KS_TANH)
+    d3 = [nx * ks(_KS_R + 3 * r) + ny * ks(_KS_R + 3 * r + 1)
+          - ks(_KS_R + 3 * r + 2) for r in range(3)]
+    d_s, d_a, d_b = d3[sab_idx[0]], d3[sab_idx[1]], d3[sab_idx[2]]
+
+    vox = ks(_KS_VOX)
+    eye_s, eye_a, eye_b = ks(_KS_EYE_S), ks(_KS_EYE_A), ks(_KS_EYE_B)
+    denom = d_s / vox
+    denom = jnp.where(jnp.abs(denom) < 1e-12, f32(1e-12), denom)
+    t_rp = (ks(_KS_Z0) - eye_s) / denom
+    a_ref = eye_a + d_a / vox * t_rp
+    b_ref = eye_b + d_b / vox * t_rp
+    behind = t_rp <= 0
+    uu = (a_ref - ks(_KS_AMIN)) * ks(_KS_SCA)
+    vv = (b_ref - ks(_KS_BMIN)) * ks(_KS_SCB)
+    oow = (uu < 0) | (uu >= th) | (vv < 0) | (vv >= tw)
+    invalid = behind | oow
+
+    iu = jnp.where(invalid, th - 1,
+                   jnp.clip(uu.astype(jnp.int32), 0, th - 1))
+    iv0 = jnp.where(invalid, tw - 1,
+                    jnp.clip(vv.astype(jnp.int32), 0, tw - 1))
+    iv = jnp.where(invalid, jnp.min(iv0), iv0)
+    umin = (jnp.clip(jnp.min(iu), 0, th - win) >> 3) << 3
+    umin = pl.multiple_of(umin, 8)
+    rel_u = jnp.clip(iu - umin, 0, win - 1)
+
+    gmin = jnp.min(iv) >> 7
+    gmax = jnp.max(iv) >> 7
+    P = ty * tx
+    civ0 = jax.lax.broadcasted_iota(jnp.int32, (ty, tx, 128), 2)
+    for g in range(tw // 128):
+        def body(first, g=g):
+            Vg = ((civ0 + g * 128) == iv[:, :, None]).astype(
+                jnp.bfloat16).reshape(P, 128)
+            d = None
+            for p in range(n_planes):
+                tp_ = t_ref[pl.ds(p * th + umin, win), g * 128:(g + 1) * 128]
+                dp = jax.lax.dot_general(
+                    Vg, tp_, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                d = dp if d is None else d + dp
+            if first:
+                a_scr[:, :] = d
+            else:
+                a_scr[:, :] += d
+
+        @pl.when(g == gmin)
+        def _():
+            body(True)
+
+        @pl.when((g > gmin) & (g <= gmax))
+        def _():
+            body(False)
+
+    A3 = a_scr[:, :].reshape(ty, tx, win)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ty, tx, win), 2)
+    mask = (riota == rel_u[:, :, None]).astype(jnp.float32)
+    val = jnp.where(invalid, -1.0, (A3 * mask).sum(axis=2))
+
+    # ---- shade epilogue (all per-pixel, registers only) ----
+    hit = (val >= 0.0) & ~behind
+    sh_bit = val >= 2048.0
+    z_f = jnp.maximum(val - jnp.where(sh_bit, f32(2048.0), f32(0.0)), 0.0)
+    d_len = jnp.sqrt(d3[0] * d3[0] + d3[1] * d3[1] + d3[2] * d3[2])
+    t_w = (z_f - eye_s) * vox * d_len / d_s
+    t_w = jnp.where(hit, t_w, 0.0)
+
+    ndl = jnp.zeros((ty, tx), f32)
+    nrm2 = jnp.zeros((ty, tx), f32)
+    nrm_l = []
+    for c in range(3):
+        dir_c = d3[c] / d_len
+        p_c = ks(_KS_CAM + c) + dir_c * t_w
+        pin_c = p_c + dir_c * (0.25 * vox)
+        org_c = ks(_KS_ORG + c)
+        cen_c = org_c + (jnp.floor((pin_c - org_c) / vox) + 0.5) * vox
+        n_c = p_c - cen_c
+        nrm_l.append(n_c)
+        nrm2 = nrm2 + n_c * n_c
+        ndl = ndl + n_c * ks(_KS_L + c)
+    ndotl = jnp.maximum(0.0, -ndl / jnp.maximum(jnp.sqrt(nrm2), 1e-12))
+
+    packed = jnp.zeros((ty, tx), jnp.int32)
+    for c in range(3):
+        col = ks(_KS_BASE + c) * ndotl + ks(_KS_AMB + c)
+        if has_shadow:
+            col = jnp.where(sh_bit, ks(_KS_AMB + c), col)
+        col = jnp.where(hit, col, 0.0)
+        q = jnp.clip(col * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
+        packed = (packed << 8) | q
+    o_ref[:, :] = packed
+
+
+def frame_scalars_kernel(scal, axis_selectors_idx):
+    """Build the fused kernel's f32[35] scalar vector from the packed
+    per-frame scalars (slab_sweep layout). Traceable (call inside jit)."""
+    f32 = jnp.float32
+    fov_deg, aspect = scal[8], scal[9]
+    tan_half = jnp.tan(fov_deg * f32(math.pi / 360.0))
+    view = scal[18:34].reshape(4, 4)
+    R = jnp.linalg.inv(view)[:3, :3]
+    light = scal[34:37]
+    l = light / jnp.linalg.norm(light)
+    a_min, a_max, b_min, b_max = scal[4], scal[5], scal[6], scal[7]
+    return jnp.concatenate([
+        jnp.stack([aspect * tan_half, tan_half, scal[0], scal[1], scal[2],
+                   scal[3], a_min, 1.0 / (a_max - a_min),
+                   b_min, 1.0 / (b_max - b_min), scal[10]]),
+        scal[12:15],          # grid origin
+        scal[15:18],          # cam pos
+        l,
+        scal[37:40],          # base color
+        scal[40:43],          # ambient
+        R.reshape(-1),
+    ]).astype(f32)
+
+
+def warp_frame(t_hl, kscal, ty: int, tx: int, win: int, axis_world: int,
+               width: int, height: int, has_shadow: bool,
+               n_planes: int = 2):
+    """Fused frame: packed-RGB int32[Hp, Wp] from the split table + scalars.
+
+    ``kscal`` from :func:`frame_scalars_kernel` — NOTE its SCA/SCB slots
+    hold 1/(range); the kernel needs texels-per-unit, so the wrapper
+    rescales by the table dims here (keeps the scalar build table-agnostic).
+    Traceable (call inside jit).
+    """
+    th2, tw = t_hl.shape
+    th = th2 // n_planes
+    kscal = kscal.at[_KS_SCA].mul(th).at[_KS_SCB].mul(tw)
+    sab_idx = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis_world]
+    Hp, Wp = height + ((-height) % ty), width + ((-width) % tx)
+    return pl.pallas_call(
+        functools.partial(_warp_frame_kernel, ty, tx, win, th, tw, n_planes,
+                          sab_idx, width, height, has_shadow),
+        grid=(Hp // ty, Wp // tx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((th2, tw), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ty, tx), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ty * tx, win), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=jax.default_backend() != "tpu",
+    )(kscal, t_hl)
+
+
+def unpack_frame_rgb(packed, width: int, height: int):
+    """int32[Hp, Wp] packed 0xRRGGBB -> f32[height, width, 4] rgba."""
+    p = packed[:height, :width]
+    r = ((p >> 16) & 255).astype(jnp.float32)
+    g = ((p >> 8) & 255).astype(jnp.float32)
+    b = (p & 255).astype(jnp.float32)
+    a = jnp.full_like(r, 255.0)
+    return jnp.stack([r, g, b, a], axis=-1) * (1.0 / 255.0)
+
+
 def plan_warp(scal_np, axis_selectors, axis_world: int,
               inter_h: int, inter_w: int, width: int, height: int,
               step: int = 16) -> Optional[Tuple[int, int, int]]:

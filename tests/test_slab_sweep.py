@@ -174,3 +174,44 @@ def test_interior_camera_forward_halfvolume():
     # voxel-granularity agreement (nearest-cell sweep sampling)
     vs = float(np.asarray(g.voxel_size))
     assert np.quantile(terr, 0.95) < 2.5 * vs
+
+
+def test_layout_cache_never_serves_stale_on_id_reuse():
+    """Regression (VERDICT r2 weak #7): `_LAYOUT_CACHE` is keyed by
+    ``id(volume)``; if a volume were GC'd and a new array reused the same
+    id, the old layout must NOT be served. The entry pins the source and a
+    hit requires identity — simulate the id collision by planting a stale
+    entry under the new volume's key with a different source object."""
+    from ray_tracing_octrees_tpu.trace import slab_sweep as ss
+
+    g = make_sphere_grid(16)
+    vol = (np.asarray(g.occ) > 0).astype(np.float32)
+    S, A, B = 16, 16, 16
+    key = (id(vol), 0, False, 0, S)
+    stale_src = np.zeros_like(vol)
+    poison = jnp.full((16, 16, 16), 7.0, jnp.bfloat16)
+    ss._LAYOUT_CACHE[key] = (stale_src, poison)
+    try:
+        out = ss._layout_volume(vol, 0, False, S, A, B)
+        assert not np.allclose(np.asarray(out, np.float32), 7.0), \
+            "stale layout served for a different source object with same id"
+        # and the refreshed entry now pins the real volume
+        src, cached = ss._LAYOUT_CACHE[key]
+        assert src is vol
+        np.testing.assert_array_equal(np.asarray(cached), np.asarray(out))
+        # second call: served from cache, identical object
+        out2 = ss._layout_volume(vol, 0, False, S, A, B)
+        assert out2 is cached
+    finally:
+        ss._LAYOUT_CACHE.pop(key, None)
+
+    # same guard on the shadow layout entries
+    lkey = (id(vol), "shadow", 2)
+    ss._LAYOUT_CACHE[lkey] = (stale_src, poison)
+    try:
+        sh = ss.shadow_volume(vol, (0.1, 0.2, 1.0))
+        assert np.asarray(sh).min() >= 0.0
+        src, _ = ss._LAYOUT_CACHE[lkey]
+        assert src is vol
+    finally:
+        ss._LAYOUT_CACHE.pop(lkey, None)

@@ -98,3 +98,45 @@ def test_plan_warp_typical_pose():
     # gradients; the plan must reject rather than clamp
     cfg_small = plan_warp(scal, _AXIS_SELECTORS, aw, 1024, 1024, 256, 256)
     assert cfg_small in (CONFIG_FAST, CONFIG_WIDE, None)
+
+
+def test_fused_frame_kernel_matches_fallback():
+    """warp_frame (ray gen + lookup + shade in one Pallas kernel) must agree
+    with the split XLA path (_warp_setup -> gather -> _finish_shade) up to
+    8-bit color quantization, everywhere except ulp-boundary texel flips."""
+    from ray_tracing_octrees_tpu.core.grid import make_sphere_grid
+    from ray_tracing_octrees_tpu.render.camera import Camera
+    from ray_tracing_octrees_tpu.trace import slab_sweep as ss
+
+    grid = make_sphere_grid(32)
+    vol = (np.asarray(grid.occ) > 0).astype(np.float32)
+    to_light = (0.5, 0.9, 0.4)
+    sv = ss.shadow_volume(vol, to_light)
+    cam = Camera(theta=0.5, phi=0.8, radius=2.2)
+    W, H = 256, 64
+    ih = iw = 256
+
+    axis_world, flip, (S, A, B), eyes, window, crop = ss._sweep_geometry(
+        vol, grid.origin, grid.voxel_size, cam.get_pos(), cam.get_view())
+    vol_bf = ss._layout_volume(vol, axis_world, flip, S, A, B, crop)
+    scal = ss._frame_scalars(
+        *eyes[:3], eyes[3], *window, 45.0, W / H, float(grid.voxel_size), S,
+        np.asarray(grid.origin, np.float32),
+        np.asarray(cam.get_pos(), np.float32), cam.get_view(),
+        tuple(-c for c in to_light), (1.0, 0.8, 0.6), (0.1, 0.1, 0.1))
+
+    common = (vol_bf, sv, scal, vol_bf.shape[0] // 32, S, A, B, ih, iw,
+              bool(flip), axis_world, W, H, True)
+    ref = np.asarray(ss._frame_fused(*common, warp_cfg=None))
+    # win == table height: no u-window clipping regardless of pose, so
+    # the only differences left are quantization + ulp texel boundaries
+    out = np.asarray(ss._frame_fused(*common, warp_cfg=(32, 128, 256)))
+    assert out.shape == ref.shape == (H, W, 4)
+
+    # fallback colors are unquantized and may exceed 1; clamp + quantize
+    refq = np.round(np.clip(ref, 0.0, 1.0) * 255.0) / 255.0
+    close = np.abs(out - refq).max(axis=-1) <= (1.5 / 255.0)
+    assert close.mean() > 0.995, f"pixel agreement {close.mean():.4f}"
+    # the frame must actually contain lit, shadowed, and background pixels
+    assert (out[..., :3].max(-1) > 0.5).any()
+    assert (out[..., :3].max(-1) == 0).any()
