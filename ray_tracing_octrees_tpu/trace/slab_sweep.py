@@ -119,12 +119,16 @@ def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
     ci_iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 1, 1), 0)
 
     def chunk(ci, carry):
+        # einsum order matters on narrow scenes (Calgary B = 29): the
+        # a-contraction emits [c, b, h] so the tiny b axis pads to 8
+        # SUBLANES instead of 128 LANES (4.4x MXU waste measured), and
+        # the b-contraction then produces the [c, h, w] table directly.
         first_o, sh_first = carry
         ma = jax.lax.dynamic_slice_in_dim(ma_all, ci * CH, CH, 0)
         mb = jax.lax.dynamic_slice_in_dim(mb_all, ci * CH, CH, 0)
         sl = jax.lax.dynamic_slice_in_dim(vol_bf, ci * CH, CH, 0)
-        hb = jnp.einsum("cha,cab->chb", ma, sl, preferred_element_type=bf16)
-        sh = jnp.einsum("chb,cwb->chw", hb, mb, preferred_element_type=bf16)
+        hb = jnp.einsum("cab,cha->cbh", sl, ma, preferred_element_type=bf16)
+        sh = jnp.einsum("cbh,cwb->chw", hb, mb, preferred_element_type=bf16)
         hits = sh > 0.5
         am = jnp.argmax(hits, axis=0)
         cand = jnp.where(
@@ -133,8 +137,8 @@ def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
         upd = cand < first_o
         if has_sh:
             ssl = jax.lax.dynamic_slice_in_dim(shadow_sw, ci * CH, CH, 0)
-            hbs = jnp.einsum("cha,cab->chb", ma, ssl, preferred_element_type=bf16)
-            shs = jnp.einsum("chb,cwb->chw", hbs, mb, preferred_element_type=bf16)
+            hbs = jnp.einsum("cab,cha->cbh", ssl, ma, preferred_element_type=bf16)
+            shs = jnp.einsum("cbh,cwb->chw", hbs, mb, preferred_element_type=bf16)
             sel = (ci_iota == am[None]).astype(bf16)
             sh_at = (shs * sel).sum(axis=0).astype(f32)
             sh_first = jnp.where(upd, sh_at, sh_first)
@@ -229,20 +233,43 @@ def _frame_scalars(*args, **kwargs):
 
 
 def _plan_warp_cfg(scal_np, axis_world: int, inter_h: int, inter_w: int,
-                   width: int, height: int):
+                   width: int, height: int, for_fused: bool = False):
     """Pick the Pallas warp kernel config for this frame (host-side).
 
     Returns a (ty, tx, win) tuple, or None to use the XLA gather fallback
     (pathological cameras whose per-tile u-range exceeds every window).
+    ``for_fused``: the fused frame kernel computes table indices from the
+    closed forms in-kernel, so it has no fixed-column-count constraint;
+    the standalone lookup kernel decodes packed ``lin`` via ``>> 10`` and
+    needs exactly 1024 columns.
     """
     from ray_tracing_octrees_tpu.trace.warp_kernel import plan_warp
 
     if jax.default_backend() != "tpu":
         return None   # CPU/interpret: XLA gather is the fast path there
-    if inter_w != 1024:
+    if not for_fused and inter_w != 1024:
         return None   # the kernel's >>10 index decode assumes 1024 columns
     return plan_warp(scal_np, _AXIS_SELECTORS, axis_world,
                      inter_h, inter_w, width, height)
+
+
+def _auto_inter(window, max_dim: int = 1024) -> Tuple[int, int]:
+    """Table resolution fitted to the projected volume extent (host-side).
+
+    The sweep table historically used a fixed 1024x1024, but scenes are
+    often thin along one lateral axis (Calgary: B = 29 voxels of building
+    height vs A = 425): a 1024-texel axis there is ~35x oversampled and
+    the b-contraction's cost is linear in table width. 6+ texels per
+    voxel keeps in-slab bilinear hit resolution well under the 1-voxel
+    slab quantization that already bounds the sweep's accuracy.
+    """
+    a_min, a_max, b_min, b_max = window
+
+    def dim(span: float) -> int:
+        t = int(math.ceil(6.0 * max(span, 1.0) / 128.0)) * 128
+        return max(256, min(max_dim, t))
+
+    return dim(a_max - a_min), dim(b_max - b_min)
 
 
 def _warp_values(packed, lin, inter_h: int, inter_w: int,
@@ -628,8 +655,8 @@ def render_fast_frame(
     light_dir=(-1.0, -1.0, -1.0),
     base_color=(1.0, 0.8, 0.6),
     ambient=(0.1, 0.1, 0.1),
-    inter_h: int = 1024,
-    inter_w: int = 1024,
+    inter_h: Optional[int] = None,
+    inter_w: Optional[int] = None,
     fused: bool = True,
 ):
     """Slab-sweep frame with Lambert + shadow shading.
@@ -650,6 +677,9 @@ def render_fast_frame(
     axis_world, flip, (S, A, B), eyes, window, crop_lo = _sweep_geometry(
         volume, grid_origin, voxel_size, camera_pos, view
     )
+    auto_h, auto_w = _auto_inter(window)
+    inter_h = auto_h if inter_h is None else inter_h
+    inter_w = auto_w if inter_w is None else inter_w
     vol_bf = _layout_volume(volume, axis_world, flip, S, A, B, crop_lo)
     sp = vol_bf.shape[0]
     origin_c = np.asarray(grid_origin, np.float32) + np.asarray(
@@ -662,7 +692,7 @@ def render_fast_frame(
     )
     scal = jnp.asarray(scal_np)
     warp_cfg = _plan_warp_cfg(scal_np, axis_world, inter_h, inter_w,
-                              width, height)
+                              width, height, for_fused=fused)
     has_shadow = shadow_vol is not None
     sh_arg = shadow_vol if has_shadow else jnp.zeros((1, 1, 1), jnp.float32)
 
