@@ -1,0 +1,148 @@
+"""Sweep-space volume raymarcher vs the per-ray raycastFS port (oracle).
+
+The sweep path's documented divergences (slab-quantized hits, nearest
+8-bit fields, deterministic windowed shadow) mean parity is statistical,
+not bitwise: coverage (hit mask) must agree except at silhouettes, and
+colors must be close in aggregate on agreed hits. The oracle itself is
+stochastic (blue-noise stepping, dither), so exact-color comparison is
+impossible even between two oracle runs at different time values.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ray_tracing_octrees_tpu.core.grid import make_sphere_grid
+from ray_tracing_octrees_tpu.models.volume_raycaster import VolumeRaycastRenderer
+from ray_tracing_octrees_tpu.render.camera import Camera
+from ray_tracing_octrees_tpu.trace.raymarch import raymarch_volume
+from ray_tracing_octrees_tpu.trace.raymarch_sweep import (
+    prepare_volume_scene,
+    render_volume_frame,
+    shadow_fraction_volume,
+)
+
+
+@pytest.fixture(scope="module")
+def scene_setup():
+    grid = make_sphere_grid(32)
+    r = VolumeRaycastRenderer().init(grid)
+    scene = prepare_volume_scene(r.textures, float(grid.voxel_size))
+    return grid, r, scene
+
+
+def _frame_pair(grid, r, scene, W, H, theta=0.5, phi=0.8):
+    cam = Camera(theta=theta, phi=phi, radius=2.2)
+    out = render_volume_frame(
+        scene, grid.origin, cam.get_pos(), cam.get_view(), 45.0, W / H, W, H)
+
+    # invert the camera matrices in float64 numpy: an f32 jnp.linalg.inv of
+    # the far/near=50000-conditioned projection corrupts the ray directions
+    # enough that every ray misses the volume box
+    inv_view = np.linalg.inv(np.asarray(cam.get_view(), np.float64))
+    inv_proj = np.linalg.inv(np.asarray(cam.get_proj(W / H), np.float64))
+    ref = raymarch_volume(
+        r.textures, jnp.asarray(cam.get_pos(), jnp.float32),
+        jnp.asarray(inv_view, jnp.float32), jnp.asarray(inv_proj, jnp.float32),
+        W, H, max_steps=800,
+    )
+    return out, ref
+
+
+def test_volume_sweep_matches_oracle_coverage(scene_setup):
+    grid, r, scene = scene_setup
+    W = H = 96
+    out, ref = _frame_pair(grid, r, scene, W, H)
+    hit_s = np.asarray(out["alpha"]) >= 0.1
+    hit_r = np.asarray(ref["alpha"]) >= 0.1
+    agree = (hit_s == hit_r).mean()
+    assert agree > 0.92, f"hit-mask agreement {agree:.3f}"
+    # depth oracle: the scene's outer shell is an analytic sphere (radius
+    # 0.4*min_dim voxels about the volume center, generate_test_volume) —
+    # first-hit depth must land on it to within slab quantization +
+    # voxelization error.  (The per-ray port's own depth output is a
+    # write-only EDGE-refinement t with different semantics, so the
+    # analytic surface is the honest comparison.)
+    from ray_tracing_octrees_tpu.render.camera import generate_rays
+
+    cam = Camera(theta=0.5, phi=0.8, radius=2.2)
+    _, dirs = generate_rays(W, H, cam.get_pos(), cam.get_view(), 45.0, W / H)
+    dirs = np.asarray(dirs, np.float64).reshape(H, W, 3)
+    o = np.asarray(cam.get_pos(), np.float64)
+    r_sph = 0.4  # 0.4 * 32 voxels * (1/32 world per voxel)
+    b = (dirs * o).sum(-1)
+    disc = b * b - ((o * o).sum() - r_sph * r_sph)
+    t_sph = -b - np.sqrt(np.maximum(disc, 0.0))
+    vs = float(np.asarray(grid.voxel_size))
+    # away from the silhouette (where slab quantization lets rays clip or
+    # graze), hits must lie on the analytic sphere
+    interior = (disc > (3.0 * vs) ** 2) & hit_s
+    dd = np.abs(np.asarray(out["depth"])[interior] - t_sph[interior])
+    assert interior.sum() > 200
+    assert np.quantile(dd, 0.9) < 2.5 * vs, np.quantile(dd, 0.9) / vs
+
+
+def test_volume_sweep_color_close_on_hits(scene_setup):
+    grid, r, scene = scene_setup
+    W = H = 96
+    out, ref = _frame_pair(grid, r, scene, W, H)
+    hit_s = np.asarray(out["alpha"]) >= 0.1
+    hit_r = np.asarray(ref["alpha"]) >= 0.1
+    both = hit_s & hit_r
+    assert both.any()
+    cs = np.asarray(out["color"])[..., :3][both]
+    cr = np.asarray(ref["color"])[..., :3][both]
+    mad = np.abs(cs - cr).mean()
+    # tone-mapped colors live in [0, 1); the oracle's stochastic shadow
+    # samples, trilinear fields, and TAA jitter bound how close a
+    # deterministic path can get — this guards structure, not bits
+    assert mad < 0.08, f"mean abs color diff {mad:.4f}"
+    assert np.abs(cs - cr).max() < 0.5
+    # luminance correlation only when the image has real structure: on a
+    # near-flat shell (std ~0.02) correlation measures the oracle's ~0.01
+    # stochastic dither, not likeness — there the MAD bound is the guard
+    ls = cs.mean(-1)
+    lr = cr.mean(-1)
+    if lr.std() > 0.05:
+        corr = np.corrcoef(ls, lr)[0, 1]
+        assert corr > 0.7, f"luminance correlation {corr:.3f}"
+    else:
+        assert abs(ls.mean() - lr.mean()) < 0.05
+
+
+def test_volume_sweep_misses_are_black(scene_setup):
+    grid, r, scene = scene_setup
+    out, _ = _frame_pair(grid, r, scene, 64, 64)
+    alpha = np.asarray(out["alpha"])
+    col = np.asarray(out["color"])
+    assert (col[alpha < 0.1][..., :3] == 0).all()
+    assert (alpha >= 0.1).any()
+
+
+def test_shadow_fraction_volume_semantics():
+    # a slab of blockers above: fraction ~1 right below it, 0 far below
+    den = np.zeros((32, 16, 16), np.float32)
+    den[20:24] = 1.0   # z in [20, 24)
+    rad = np.zeros_like(den)
+    frac = np.asarray(shadow_fraction_volume(
+        jnp.asarray(den), jnp.asarray(rad), (0.0, 0.0, 1.0), 5.0, 1.0))
+    assert frac.shape == den.shape
+    # immediately below the slab: all 5 window slabs blocked or near it
+    assert frac[18, 8, 8] > 0.5
+    # far below: window [z+1, z+6) is empty
+    assert frac[5, 8, 8] < 0.05
+    # above the slab (light side): nothing between it and the light
+    assert frac[28, 8, 8] < 0.05
+
+
+def test_volume_sweep_larger_frame_compiles(scene_setup):
+    # the old port could not even compile 512**2 on the TPU runtime; the
+    # sweep path must handle it (on CPU here, shapes only)
+    grid, r, scene = scene_setup
+    W, H = 256, 144
+    cam = Camera(theta=0.4, phi=0.6, radius=2.5)
+    out = render_volume_frame(
+        scene, grid.origin, cam.get_pos(), cam.get_view(), 45.0, W / H, W, H)
+    assert out["color"].shape == (H, W, 4)
+    jax.block_until_ready(out["color"])
