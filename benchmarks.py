@@ -335,13 +335,34 @@ def config6():
     extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
     center = np.asarray(building_center(g))
 
-    # Honest ceiling note: the per-ray trilinear-gather formulation runs
-    # at the TPU scalar-gather floor (~80 gathers/step/ray at ~8 ns) —
-    # measured 26.6 s/frame at 256x256 on Calgary — and the 512x512
-    # program crashes this runtime's compiler. Measured small so the
-    # number is on the record; the production interactive path for this
-    # scene is the slab-sweep frame (config 5). Restructuring the
-    # raymarcher onto sweep-resampled buffers is the roadmap item.
+    # The production path is the sweep-space restructuring
+    # (trace/raymarch_sweep.py, via draw_fast): first-hit detection sweep
+    # + packed field fetch + closed-form shading epilogue. The per-ray
+    # port (draw) stays as the reference-semantics oracle — it runs at
+    # the TPU scalar-gather floor (26.6 s/frame at 256x512 on Calgary in
+    # round 2) so it is measured small, for the record.
+    for W, H in ((256, 256), (512, 512), (1920, 1080)):
+        def frame_fast(i):
+            cam = Camera(theta=0.9 + 0.01 * i, phi=0.8 - 0.005 * i,
+                         radius=0.75 * extent)
+            cam.set_target(center)
+            return rc.draw_fast(cam, W, H, W / H)["color"]
+
+        jax.block_until_ready(frame_fast(0))
+        n = 20
+        t0 = time.perf_counter()
+        outs = [frame_fast(1 + i) for i in range(n)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / n
+        _emit(
+            config="volume_raymarch_sweep",
+            scene=scene,
+            resolution=f"{W}x{H}",
+            frame_ms=round(dt * 1e3, 1),
+            fps=round(1.0 / dt, 4),
+            mrays_per_s=round(W * H / dt / 1e6, 4),
+        )
+
     for W, H in ((128, 128), (256, 256)):
         def frame(i):
             cam = Camera(theta=0.9 + 0.01 * i, phi=0.8 - 0.005 * i,
@@ -357,7 +378,7 @@ def config6():
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / n
         _emit(
-            config="volume_raymarch",
+            config="volume_raymarch_oracle",
             scene=scene,
             resolution=f"{W}x{H}",
             frame_ms=round(dt * 1e3, 1),

@@ -94,6 +94,7 @@ class RaymarchConfig:
     frustum_margin_scale: float = 0.8
     pick_max_steps: int = 8000
     taa_jitter: bool = True
+    use_sweep: bool = True               # sweep-space fast path in the app
     octree_skip_probe: int = 7           # 7x7 central ray grid
     octree_skip_percentile: float = 0.15
     octree_skip_safety: float = 0.75

@@ -293,7 +293,12 @@ class Application:
                 if self.update_frustum_requested and self.raycaster.use_frustum_culling:
                     self.raycaster.update_frustum_culling(self.camera, aspect)
                 with self.timer.stage("raycast", items=width * height):
-                    res = self.raycaster.draw(self.camera, width, height, aspect)
+                    if self.config.raymarch.use_sweep:
+                        res = self.raycaster.draw_fast(
+                            self.camera, width, height, aspect)
+                    else:
+                        res = self.raycaster.draw(
+                            self.camera, width, height, aspect)
                 self._cached_frames[mode] = np.asarray(res["color"])
                 out["depth"] = np.asarray(res["depth"])
             out["color"] = self._cached_frames[mode]

@@ -204,10 +204,14 @@ class VolumeSweepScene:
 
     det: jax.Array                       # f32[Z,Y,X] detection indicator
     bundles: List[List[jax.Array]]       # channels of 1..3 8-bit fields
-    box_min: jax.Array
-    box_max: jax.Array
+    box_min: np.ndarray                  # host copies: read every frame to
+    box_max: np.ndarray                  # build scalars — keep off-device
     voxel_size: float
     layouts: Dict = dataclasses.field(default_factory=dict)
+    # sticky sweep-table dims: orbiting cameras cross _auto_inter's 128-
+    # texel buckets every few frames, and each flip is a multi-second
+    # recompile; reuse the previous dims while they still cover the window
+    sticky_inter: Optional[Tuple[int, int]] = None
 
 
 def prepare_volume_scene(tex: VolumeTextures, voxel_size: float,
@@ -241,8 +245,8 @@ def prepare_volume_scene(tex: VolumeTextures, voxel_size: float,
     return VolumeSweepScene(
         det=det,
         bundles=[[jax.block_until_ready(b) for b in ch] for ch in bundles],
-        box_min=jnp.asarray(tex.box_min, f32),
-        box_max=jnp.asarray(tex.box_max, f32),
+        box_min=np.asarray(tex.box_min, np.float32),
+        box_max=np.asarray(tex.box_max, np.float32),
         voxel_size=float(voxel_size),
     )
 
@@ -510,6 +514,15 @@ def render_volume_frame(
     axis_world, flip, (S, A, B), eyes, window, crop_lo = _sweep_geometry(
         det, grid_origin, scene.voxel_size, camera_pos, view)
     auto_h, auto_w = _auto_inter(window)
+    if inter_h is None or inter_w is None:
+        st = scene.sticky_inter
+        if (st is not None and st[0] >= auto_h and st[1] >= auto_w
+                and st[0] * st[1] <= 3 * auto_h * auto_w):
+            auto_h, auto_w = st
+        else:
+            auto_h = min(1024, -(-auto_h // 256) * 256)
+            auto_w = min(1024, -(-auto_w // 256) * 256)
+            scene.sticky_inter = (auto_h, auto_w)
     inter_h = auto_h if inter_h is None else inter_h
     inter_w = auto_w if inter_w is None else inter_w
     det_bf = _layout_volume(det, axis_world, flip, S, A, B, crop_lo)
@@ -521,8 +534,8 @@ def render_volume_frame(
     scal_np[:43] = _frame_scalars_np(
         *eyes[:3], eyes[3], *window, fov_deg, aspect, scene.voxel_size, S,
         origin_c, np.asarray(camera_pos, np.float32), view)
-    scal_np[43:46] = np.asarray(scene.box_min)
-    scal_np[46:49] = np.asarray(scene.box_max)
+    scal_np[43:46] = scene.box_min
+    scal_np[46:49] = scene.box_max
     nf = tuple(len(ch) for ch in scene.bundles)
     return _volume_frame(
         det_bf, tuple(cats), jnp.asarray(scal_np), jnp.asarray(time_value, f32),
