@@ -253,6 +253,146 @@ def trace_segmented(
     return jax.jit(f)(occ, origins, directions)
 
 
+def sweep_packed_segmented(
+    mesh: Mesh,
+    volume,             # f32[Z, Y, X]
+    shadow_vol,         # f32[Z, Y, X] from slab_sweep.shadow_volume, or None
+    grid_origin,
+    voxel_size,
+    camera_pos,
+    view,
+    fov_deg: float,
+    aspect: float,
+    inter_h=None,
+    inter_w=None,
+    axis: str = "sp",
+    light_dir=(-1.0, -1.0, -1.0),
+    base_color=(1.0, 0.8, 0.6),
+    ambient=(0.1, 0.1, 0.1),
+):
+    """The PRODUCTION slab-sweep first-hit, slab-segmented across chips.
+
+    The SP decomposition of the headline fast frame (trace/slab_sweep.py):
+    each device holds 1/n of the sweep-layout slab rows (the same Z-slab
+    partitioning as the reference's partial cache loads,
+    CacheUtils.cpp:62-111, rotated into sweep order), sweeps ONLY its
+    segment with the global row offset ``o_base``, and the global first
+    hit per texel is the plain ``pmin`` of per-device first-hit rows
+    (ray order == layout row order; the miss sentinel s_valid + 1 loses
+    every min). The winning segment's shadow sample follows via the
+    pick-and-psum trick (row indices are globally unique, so exactly one
+    device can win). Returns (packed field as _sweep_all, scal, geometry
+    statics) — bit-identical to the single-device sweep by construction,
+    asserted by tests/test_parallel.py.
+    """
+    from ray_tracing_octrees_tpu.trace import slab_sweep as ss
+
+    ndev = mesh.shape[axis]
+    axis_world, flip, (S, A, B), eyes, window, crop_lo = ss._sweep_geometry(
+        volume, np.asarray(grid_origin), float(voxel_size), camera_pos, view)
+    auto_h, auto_w = ss._auto_inter(window)
+    inter_h = auto_h if inter_h is None else inter_h
+    inter_w = auto_w if inter_w is None else inter_w
+    vol_bf = ss._layout_volume(volume, axis_world, flip, S, A, B, crop_lo)
+    sp = vol_bf.shape[0]
+    sp_pad = (-sp) % (32 * ndev)
+    if sp_pad:
+        vol_bf = jnp.concatenate(
+            [vol_bf, jnp.zeros((sp_pad, A, B), vol_bf.dtype)], 0)
+    sp_t = sp + sp_pad
+    sp_l = sp_t // ndev
+
+    origin_c = np.asarray(grid_origin, np.float32) + np.asarray(
+        ss._AXIS_SELECTORS[axis_world][0], np.float32
+    ) * (crop_lo * float(voxel_size))
+    scal_np = ss._frame_scalars_np(
+        *eyes[:3], eyes[3], *window, fov_deg, aspect, float(voxel_size), S,
+        origin_c, np.asarray(camera_pos, np.float32), view,
+        light_dir, base_color, ambient,
+    )
+    scal = jnp.asarray(scal_np)
+    has_shadow = shadow_vol is not None
+    shv = ss._shadow_relayout(
+        shadow_vol, axis_world, bool(flip), sp_t, A, B,
+        crop_lo=crop_lo, s_keep=S,
+    ) if has_shadow else jnp.zeros((sp_t, 1, 1), jnp.bfloat16)
+
+    vol_s = jax.device_put(vol_bf, NamedSharding(mesh, P(axis, None, None)))
+    shv_s = jax.device_put(shv, NamedSharding(mesh, P(axis, None, None)))
+
+    def local(vol_slab, shv_slab, scal_r):
+        ob = jax.lax.axis_index(axis) * sp_l
+        first_o, sh_first = ss._sweep_core(
+            vol_slab, scal_r, sp_l // 32, S, A, B, inter_h, inter_w,
+            bool(flip), shadow_sw=shv_slab if has_shadow else None,
+            o_base=ob,
+        )
+        fo = jax.lax.pmin(first_o, axis)
+        if has_shadow:
+            won = (first_o == fo) & (fo < jnp.float32(S))
+            shw = jax.lax.psum(jnp.where(won, sh_first, 0.0), axis)
+        else:
+            shw = jnp.zeros_like(fo)
+        return fo, shw
+
+    @jax.jit
+    def run(vol_in, shv_in, scal_in):
+        fo, shw = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None, None), P(axis, None, None), P()),
+            out_specs=(P(None, None), P(None, None)),
+            check_rep=False,
+        )(vol_in, shv_in, scal_in)
+        return ss._pack_first_o(fo, shw, S, bool(flip), has_shadow)
+
+    packed = run(vol_s, shv_s, scal)
+    return packed, scal, dict(
+        axis_world=axis_world, flip=bool(flip), S=S, A=A, B=B,
+        inter_h=inter_h, inter_w=inter_w, has_shadow=has_shadow,
+    )
+
+
+def sweep_frame_segmented(
+    mesh: Mesh,
+    volume,
+    shadow_vol,
+    grid_origin,
+    voxel_size,
+    camera_pos,
+    view,
+    fov_deg: float,
+    aspect: float,
+    width: int,
+    height: int,
+    light_dir=(-1.0, -1.0, -1.0),
+    base_color=(1.0, 0.8, 0.6),
+    ambient=(0.1, 0.1, 0.1),
+    inter_h=None,
+    inter_w=None,
+    axis: str = "sp",
+):
+    """Full fast frame (sweep + warp + Lambert/shadow shade) with the
+    sweep slab-segmented across the mesh — the multi-chip variant of
+    slab_sweep.render_fast_frame(fused=False). The packed table comes
+    back replicated from the pmin combine, and the per-pixel warp + shade
+    run as ordinary replicated jit (per-pixel work is ~2 ms/frame — the
+    sweep is the part worth scaling)."""
+    from ray_tracing_octrees_tpu.trace import slab_sweep as ss
+
+    packed, scal, meta = sweep_packed_segmented(
+        mesh, volume, shadow_vol, grid_origin, voxel_size, camera_pos,
+        view, fov_deg, aspect, inter_h=inter_h, inter_w=inter_w, axis=axis,
+        light_dir=light_dir, base_color=base_color, ambient=ambient,
+    )
+    ih, iw = meta["inter_h"], meta["inter_w"]
+    lin, behind, dirs, d_s_n = ss._warp_setup(
+        scal, meta["axis_world"], ih, iw, width, height)
+    w_val = ss._warp_values(packed, lin, ih, iw, width, height, None)
+    return ss._finish_shade(w_val, behind, dirs, d_s_n, scal, width, height,
+                            meta["has_shadow"])
+
+
 def marching_cubes_halo(
     mesh: Mesh,
     occ: jax.Array,

@@ -13,23 +13,24 @@ within a cell is a pure function of its 8-bit corner case. The whole mesh
 is therefore "the case grid + one 256-entry table", and ray-triangle
 tracing factors into:
 
-  1. a constrained slab sweep (the MXU shear-warp machinery of
-     trace/slab_sweep.py, nearest-neighbor hats) that yields, per table
-     texel, the next surface cell (case != 0) along the ray past the
-     previously tested one;
-  2. a one-hot [rays, 256] x [256, 45] MXU contraction fetching the
-     candidate cell's <= 5 triangles (exact: one-hot weights and midpoint
+  1. a DETECTION slab sweep (the MXU shear-warp machinery of
+     trace/slab_sweep.py, separable weighted 3-tap hats) that records,
+     per table texel, a per-slab BIT field of exactly the slabs where the
+     ray's lateral footprint contains a surface cell;
+  2. per consumed crossing, a 3-element fetch from a {1,256,65536}-packed
+     case volume (9 footprint cells' cases) and a one-hot
+     [rays * k, 256] x [256, 45] MXU contraction fetching those cells'
+     <= 5 triangles each (exact: one-hot weights and midpoint
      coordinates are both exact in bf16);
   3. exact Moller-Trumbore tests of the texel ray against those
      triangles (VPU elementwise);
   4. miss-continuation rounds: rays that crossed a surface cell without
      striking its triangles advance to their next stored crossing, until
      every ray resolves or the unresolved count drops below a tolerance.
-     The sweep runs ONCE per frame — it stores every crossing of every
-     ray in an exhaustive per-2-slab candidate field ([N, C] row-major,
-     C = number of slabs), so the rounds never re-sweep; after two
-     full-resolution rounds the surviving grazing rays are compacted to
-     half the rows (cheap row gather) and iterate there.
+     The sweep runs ONCE per frame — the bit field is exhaustive at slab
+     granularity — and the rounds run on a compaction ladder: survivors
+     (which decay ~2x per round) iterate at the narrowest row count that
+     fits them (cheap row gathers off the row-major field).
 
 This is the wavefront formulation of the reference's per-pixel traversal
 loop (RayTracerBVH.cpp:239-327's octree walk, done here at triangle
@@ -153,16 +154,38 @@ def prepare_mc_scene(occ, grid_origin, voxel_size,
 # --------------------------------------------------------------------------
 
 
-def _build_mesh_hats(scal, sp: int, s_valid: int, a_size: int, b_size: int,
-                     inter_h: int, inter_w: int, flip: bool):
-    """Per-frame footprint hat matrices for the mesh sweep.
+def _build_detect_hats(scal, sp: int, s_valid: int, a_size: int,
+                       b_size: int, inter_h: int, inter_w: int, flip: bool):
+    """Per-frame 3-tap NEIGHBOR-MASK hats + exact footprint masks.
 
-    Camera-dependent but ROUND-invariant — built once per frame and fed to
-    every `_sweep_next_cell` round (rebuilding them per round was ~70% of
-    the measured round cost). Returns (ma3 bf16[3][sp, IH, A] floor
-    one-hots at the footprint's lo/hi/center a-positions, mb_pk
-    bf16[sp, IW, B] the {1,256,65536}-packed b-weights, mb_lo bf16 for
-    the shadow channel).
+    The round-2 sweep carried three packed case channels (lo/hi/center
+    footprint hats, {1, 256, 65536} b-weights) — three full einsum chains
+    per chunk, ~203 ms/frame on Calgary. Detection and fetch are now
+    split; detection must be both CHEAP (one einsum chain, ~22 ms
+    measured, tools/exp_detect_sweep.py) and EXACT (a box-dilated test
+    fires a candidate whenever ANY of the 3x3 box is surface, and every
+    false candidate costs a full Moller-Trumbore consume round — measured
+    as the dominant frame cost).
+
+    Both at once via a separable bitmask: the mask weight of lateral
+    offset (da, db) is 8^(da+1) * 2^(db+1), so a single einsum chain with
+    3-tap a-hats weighted {1, 8, 64} and b-hats weighted {1, 2, 4}
+    (powers of two, bf16-exact; per-tap partial sums <= 73 < 2^8,
+    bf16-exact; f32 accumulation, total <= 511) samples
+
+        mask[o, texel] = sum_(da, db) 2^((da+1)*3 + db+1)
+                         * occupied(ca + da, cb + db)
+
+    — the full 3x3 neighborhood occupancy as 9 bits. The rank logic then
+    tests it against the texel's exact footprint mask fm (also separable:
+    A_mask * B_mask below), firing only when a cell the ray ACTUALLY
+    crosSES in that slab is surface.
+
+    Returns (ma_w bf16[sp, IH, A], mb_w bf16[sp, IW, B],
+    am f32[sp, IH], bm f32[sp, IW]) where am/bm are the per-(slab, texel)
+    footprint factor masks: am = 8 + (lo_a <= -1) + 64 * (hi_a >= 1) with
+    lo/hi = floor(pa -+ half_a) - floor(pa) (in {-1, 0} / {0, 1} while
+    |slope| <= 2), and fm = am * bm (disjoint bits, exact int product).
     """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -171,63 +194,77 @@ def _build_mesh_hats(scal, sp: int, s_valid: int, a_size: int, b_size: int,
 
     ua = a_min + (a_max - a_min) * (jnp.arange(inter_h, dtype=f32) + 0.5) / inter_h
     ub = b_min + (b_max - b_min) * (jnp.arange(inter_w, dtype=f32) + 0.5) / inter_w
-    half_a = 0.5 * jnp.abs((ua - eye_a) / (z0 - eye_s))        # [IH]
-    half_b = 0.5 * jnp.abs((ub - eye_b) / (z0 - eye_s))        # [IW]
-
     o_all = jnp.arange(sp, dtype=f32)
     k_all = (f32(s_valid) - 1.0 - o_all) if flip else o_all
     s_all = (z0 - eye_s) / (k_all + 0.5 - eye_s)
     pa_all = (ua[None, :] - eye_a) / s_all[:, None] + eye_a     # [sp, IH]
     pb_all = (ub[None, :] - eye_b) / s_all[:, None] + eye_b     # [sp, IW]
-    ia = jnp.arange(a_size, dtype=f32)
-    ib = jnp.arange(b_size, dtype=f32)
+    half_a = 0.5 * jnp.abs((ua - eye_a) / (z0 - eye_s))         # [IH]
+    half_b = 0.5 * jnp.abs((ub - eye_b) / (z0 - eye_s))         # [IW]
 
-    def floor_hat(p, i):
-        d = p[..., None] - i
-        return (d >= 0) & (d < 1)
+    def taps(p_all, size, w3):
+        d = p_all[..., None] - jnp.arange(size, dtype=f32)
+        m = jnp.zeros(d.shape, bf16)
+        for off, w in zip((-1.0, 0.0, 1.0), w3):
+            m = m + bf16(w) * ((d + off >= 0) & (d + off < 1)).astype(bf16)
+        return m
 
-    ma_lo = floor_hat(pa_all - half_a[None, :], ia)
-    ma_hi = floor_hat(pa_all + half_a[None, :], ia)
-    ma_ce = floor_hat(pa_all, ia)
-    mb_lo = floor_hat(pb_all - half_b[None, :], ib)
-    mb_hi = floor_hat(pb_all + half_b[None, :], ib)
-    mb_ce = floor_hat(pb_all, ib)
-    # disjoint channels: a duplicated cell keeps only its first channel,
-    # so every packed weight stays in {0, 1, 256, 65536}
-    ma_hi = ma_hi & ~(ma_lo & ma_hi).any(-1, keepdims=True)
-    ma_ce = ma_ce & ~((ma_lo | ma_hi) & ma_ce).any(-1, keepdims=True)
-    mb_hi = mb_hi & ~(mb_lo & mb_hi).any(-1, keepdims=True)
-    mb_ce = mb_ce & ~((mb_lo | mb_hi) & mb_ce).any(-1, keepdims=True)
-    # contraction order matters: contract the LARGE a axis against the
-    # small-B volume slab first ([c,h,a] x [c,a,b] -> [c,h,b], values
-    # <= 255 so exact bf16), then the b axis with the PACKED {1, 256,
-    # 65536} weights under f32 accumulation (exact to 2^24). Packing on
-    # the first contraction instead would force the expensive order
-    # (measured ~10x the MXU work on Calgary, where B is 29 and a 425+).
-    ma3 = (ma_lo.astype(bf16), ma_hi.astype(bf16), ma_ce.astype(bf16))
-    mb_pk = (mb_lo.astype(bf16) + mb_hi.astype(bf16) * bf16(256.0)
-             + mb_ce.astype(bf16) * bf16(65536.0))
-    return ma3, mb_pk, mb_lo.astype(bf16)
+    ma_w = taps(pa_all, a_size, (1.0, 8.0, 64.0))
+    mb_w = taps(pb_all, b_size, (1.0, 2.0, 4.0))
+
+    def fmask(p_all, half, base, wlo, whi):
+        lo = jnp.floor(p_all - half[None, :]) - jnp.floor(p_all)
+        hi = jnp.floor(p_all + half[None, :]) - jnp.floor(p_all)
+        return (base + wlo * (lo <= -1.0).astype(f32)
+                + whi * (hi >= 1.0).astype(f32))
+
+    am = fmask(pa_all, half_a, 8.0, 1.0, 64.0)
+    bm = fmask(pb_all, half_b, 2.0, 1.0, 4.0)
+    return ma_w, mb_w, am, bm
 
 
+def _detect_volume(case_sw: jax.Array) -> jax.Array:
+    """Binarized case volume (0/1 bf16) in sweep layout [sp, A, B].
 
-# _SUB=2 with _TOPK=2 makes the candidate field EXHAUSTIVE: two slabs
-# can hold at most two crossings, so every surface-cell crossing of every
-# ray is stored, the `extra` bit never fires, and consumption order is
-# the exact first-hit order. Field memory is 4 * N * sp * 4 B (Calgary
-# sp=256 at 1024^2 texels: 4 GB of the 15.75 GB v5e HBM); scenes with
-# sp >~ 512 should raise _SUB (approximate, `blocked`-counted) or lower
-# inter resolution.
-_SUB = 2
-_TOPK = 2
-_PHASE_A = 2     # full-resolution consumption rounds before compaction
+    Sampled by the 3-tap mask hats of :func:`_build_detect_hats`; the
+    mask/footprint test replaces the round-2 lateral 3x3 DILATION (which
+    detected box-conservatively and flooded the consume rounds with false
+    candidates)."""
+    return (case_sw > 0).astype(jnp.bfloat16)
+
+
+def _build_packed_cases(case_sw: jax.Array) -> jax.Array:
+    """{1, 256, 65536}-packed a-triples of the sweep-layout case volume.
+
+    pk[o, a, b] = case[o, a-1, b] + 256*case[o, a, b]
+                + 65536*case[o, a+1, b]  (zeros past the a edges), f32 —
+    every value < 2^24, exactly representable. One element fetched at
+    (o, a, b) yields the full a-triple of cases; the b-triple comes from
+    the flat layout's b-adjacency (idx - 1, idx, idx + 1). Returned
+    flattened [sp * A * B].
+    """
+    cs = case_sw.astype(jnp.float32)
+    z = jnp.zeros_like(cs[:, :1])
+    am1 = jnp.concatenate([z, cs[:, :-1]], axis=1)    # case at a-1
+    ap1 = jnp.concatenate([cs[:, 1:], z], axis=1)     # case at a+1
+    return (am1 + 256.0 * cs + 65536.0 * ap1).reshape(-1)
+
+
+
+# The candidate field is a per-slab BIT field: bit o of word [N, o // 32]
+# is "the ray's exact footprint in slab o contains a surface cell". It is
+# trivially EXHAUSTIVE (one bit per slab), consumption order is the exact
+# slab order (no subchunk rank approximation), and memory is N * sp / 8
+# bytes (Calgary sp=256 at 1024^2 texels: 32 MB — the round-2 field was
+# 4 GB of packed f32 channels). Selection is find-first-set >= ptr —
+# a [N, sp/32] scan instead of the old [N, C] f32 masked reduction.
 _MT_EPS = 1e-7
 
 
-def _sweep_candidates(case_sw, shadow_sw, hats, n_chunks: int,
+def _sweep_candidates(detect_sw, hats, n_chunks: int,
                       s_valid: int, a_size: int, b_size: int,
                       inter_h: int, inter_w: int, flip: bool):
-    """ONE sweep builds the whole frame's candidate field.
+    """ONE detection sweep builds the whole frame's candidate field.
 
     A texel's ray moves laterally by a CONSTANT (slope_a, slope_b) =
     ((ua - eye_a), (ub - eye_b)) / (z0 - eye_s) voxels per slab (pa is
@@ -235,102 +272,78 @@ def _sweep_candidates(case_sw, shadow_sw, hats, n_chunks: int,
     the cell interval [pa - slope_a/2, pa + slope_a/2] per axis — at most
     the 3 cells {floor(lo), floor(center), floor(hi)} while |slope| <= 2
     (the residue above that is silhouette-edge texels of near-degenerate
-    sweep axes; tests measure it). The sweep fetches all 3x3 cells' cases
-    per slab as three exact 24-bit packed channels: floor one-hot hats
-    are exact in bf16, the {1, 256, 65536} packing weights are powers of
-    two (exact in bf16), duplicate-cell hats are zeroed so weights stay
-    single-valued, and accumulation is f32 (max 16,777,215 = 2^24 - 1,
-    f32-exact).
+    sweep axes; tests measure it). Detection samples the 9-bit 3x3
+    neighborhood-occupancy MASK via one einsum chain of separable
+    weighted 3-tap hats (:func:`_build_detect_hats`) and fires exactly
+    when a cell INSIDE the footprint interval is surface — false box
+    candidates (the dominant consume-round cost) never enter the field.
+    The round-2 sweep instead carried the 9 footprint CASES as three
+    24-bit packed channels (~203 ms/frame on Calgary vs 22 ms measured
+    for the one-chain form, tools/exp_detect_sweep.py); cases are now
+    fetched per CONSUMED candidate from the packed case volume
+    (:func:`_build_packed_cases`) inside ``slab_pass``.
 
-    For every _SUB-slab subchunk the first _TOPK surface-cell crossings
-    (slab order) are recorded per texel, so the whole frame needs exactly
-    ONE sweep — the Moller-Trumbore rounds consume this field without
-    ever re-sweeping. osh = 4*o + 2*extra + shadow_bit (4*(sp+1) when
-    absent); `extra` marks > _TOPK crossings in the subchunk and is set
-    on the LAST stored rank (a texel whose stored ranks all miss there
-    has untested crossings — counted in the `blocked` stat and scanned
-    onward as a documented farther-hit approximation).
-
-    Returns (cand_osh f32[N, C], cand_p tuple of 3 f32[N, C]) with
-    C = _TOPK * sp // _SUB, candidate index = subchunk * _TOPK + rank
-    (slab-major). Row-major [N, C] layout makes straggler compaction a
-    cheap row gather (measured ~2.7 ms for 131k rows of C=64 on v5e,
-    vs ~8 ns/element for column gathers).
+    The field is a per-slab bit field: bit (o & 31) of word [texel,
+    o >> 5] says slab o's exact footprint contains a surface cell — one
+    sweep stores EVERY crossing of every ray at exact slab granularity,
+    so the Moller-Trumbore rounds consume it without ever re-sweeping.
+    Returns bits int32[N, n_chunks]; row-major so straggler compaction is
+    a cheap row gather.
     """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     CH = 32
-    NSUB = CH // _SUB
-    sp = case_sw.shape[0]
-    n_sub = sp // _SUB
-    C = _TOPK * n_sub
     N = inter_h * inter_w
-    ma3, mb_pk, mb_lo_bf = hats
-    big_o = f32(sp + 1)
-    has_sh = shadow_sw is not None
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (NSUB, _SUB, 1, 1), 1)
+    ma_w, mb_w, am_f, bm_f = hats
 
-    def chunk(ci, carry):
-        cand_osh, cand_p = carry
-        mb = jax.lax.dynamic_slice_in_dim(mb_pk, ci * CH, CH, 0)
-        sl = jax.lax.dynamic_slice_in_dim(case_sw, ci * CH, CH, 0)
-        ps = []
-        for ma_all in ma3:
-            ma = jax.lax.dynamic_slice_in_dim(ma_all, ci * CH, CH, 0)
-            hb = jnp.einsum("cha,cab->chb", ma, sl,
-                            preferred_element_type=bf16)
-            ps.append(jnp.einsum("chb,cwb->chw", hb, mb,
-                                 preferred_element_type=f32))
-        if has_sh:
-            mal = jax.lax.dynamic_slice_in_dim(ma3[0], ci * CH, CH, 0)
-            mbl = jax.lax.dynamic_slice_in_dim(mb_lo_bf, ci * CH, CH, 0)
-            ssl = jax.lax.dynamic_slice_in_dim(shadow_sw, ci * CH, CH, 0)
-            hbs = jnp.einsum("cha,cab->chb", mal, ssl,
-                             preferred_element_type=bf16)
-            shs = jnp.einsum("chb,cwb->chw", hbs, mbl,
-                             preferred_element_type=f32)
-        else:
-            shs = jnp.zeros_like(ps[0])
+    def chunk(ci, bits):
+        # einsum order per slab_sweep._sweep_all: the a-contraction emits
+        # [c, b, h] so thin lateral axes (Calgary B = 29) pad to 8
+        # SUBLANES instead of 128 LANES (4.4x MXU waste measured).
+        ma = jax.lax.dynamic_slice_in_dim(ma_w, ci * CH, CH, 0)
+        mb = jax.lax.dynamic_slice_in_dim(mb_w, ci * CH, CH, 0)
+        sl = jax.lax.dynamic_slice_in_dim(detect_sw, ci * CH, CH, 0)
+        amc = jax.lax.dynamic_slice_in_dim(am_f, ci * CH, CH, 0)
+        bmc = jax.lax.dynamic_slice_in_dim(bm_f, ci * CH, CH, 0)
+        hb = jnp.einsum("cab,cha->cbh", sl, ma, preferred_element_type=bf16)
+        det = jnp.einsum("cbh,cwb->chw", hb, mb, preferred_element_type=f32)
 
-        hits = (ps[0] + ps[1] + ps[2]) > 0.5                # [CH, IH, IW]
-        sh4 = lambda x: x.reshape(NSUB, _SUB, inter_h, inter_w)
-        hsub = sh4(hits)
-        nsum = hsub.sum(axis=1)                             # [NSUB, IH, IW]
-        base = (jnp.arange(NSUB) * _SUB + ci * CH)[:, None, None]
+        # 9-bit neighborhood mask AND the exact separable footprint mask
+        fm = (amc[:, :, None] * bmc[:, None, :]).astype(jnp.int32)
+        hits = (det.astype(jnp.int32) & fm) != 0            # [CH, IH, IW]
 
-        rows_osh, rows_p = [], [[] for _ in range(3)]
-        rem = hsub
-        for rank in range(_TOPK):
-            am = jnp.argmax(rem, axis=1)                    # [NSUB, IH, IW]
-            anyk = nsum > rank
-            selm = sub_iota == am[:, None]
-            self_ = (selm & rem).astype(f32)
-            o_at = (am + base).astype(f32)
-            sh_at = (sh4(shs) * self_).sum(axis=1)
-            osh = 4.0 * o_at + (sh_at > 0.5).astype(f32)
-            if rank == _TOPK - 1:
-                osh = osh + 2.0 * (nsum > _TOPK).astype(f32)
-            rows_osh.append(jnp.where(anyk, osh, 4.0 * big_o))
-            for j in range(3):
-                rows_p[j].append(
-                    jnp.where(anyk, (sh4(ps[j]) * self_).sum(axis=1), 0.0))
-            rem = rem & ~selm
+        word = jnp.zeros((inter_h, inter_w), jnp.int32)
+        for k in range(CH):
+            word = word | (hits[k].astype(jnp.int32) << k)
+        return jax.lax.dynamic_update_slice(
+            bits, word.reshape(N, 1), (0, ci))
 
-        # [NSUB, _TOPK, IH*IW] -> [N, NSUB*_TOPK] block, rank-minor order
-        def block(rows):
-            st = jnp.stack(rows, axis=1)                    # [NSUB, K, IH, IW]
-            return st.reshape(NSUB * _TOPK, N).T
-        cand_osh = jax.lax.dynamic_update_slice(
-            cand_osh, block(rows_osh), (0, ci * NSUB * _TOPK))
-        cand_p = tuple(
-            jax.lax.dynamic_update_slice(
-                cand_p[j], block(rows_p[j]), (0, ci * NSUB * _TOPK))
-            for j in range(3))
-        return cand_osh, cand_p
+    return jax.lax.fori_loop(0, n_chunks, chunk,
+                             jnp.zeros((N, n_chunks), jnp.int32))
 
-    init = (jnp.full((N, C), 4.0 * big_o),
-            tuple(jnp.zeros((N, C), f32) for _ in range(3)))
-    return jax.lax.fori_loop(0, n_chunks, chunk, init)
+
+def _first_set_from(bits, ptr):
+    """Per row: the first set bit index >= ptr, as (has bool[m], o i32[m]).
+
+    bits int32[m, W] little-endian 32-bit words (bit b of word w = slab
+    w * 32 + b), ptr i32[m] the first slab still eligible.
+    """
+    i32 = jnp.int32
+    W = bits.shape[1]
+    wi = jnp.arange(W, dtype=i32)[None, :]
+    wptr = ptr >> 5
+    mask_word = jnp.left_shift(i32(-1), ptr & 31)           # bits >= ptr&31
+    m = jnp.where(wi > wptr[:, None], bits,
+                  jnp.where(wi == wptr[:, None],
+                            bits & mask_word[:, None], 0))
+    nz = m != 0
+    has = nz.any(axis=1)
+    fw = jnp.argmax(nz, axis=1).astype(i32)
+    word = jnp.where(wi == fw[:, None], m, 0).sum(axis=1)
+    lsb = word & -word
+    b = i32(31) - jax.lax.clz(lsb)
+    o = fw * 32 + jnp.maximum(b, 0)
+    return has, o
 
 
 def _moller_trumbore_m(ro, rd, tri):
@@ -357,40 +370,24 @@ def _moller_trumbore_m(ro, rd, tri):
     return hit, tt
 
 
-def _topk_cells(cases9, ca3, cb3, k: int = 4):
-    """First k cells with a nonzero case among the 9 footprint slots.
+def _footprint_slots(pa, pb, half_a, half_b, ca, cb):
+    """Slot indices (into the 3x3 fetch, a-slow b-fast) of the ray's exact
+    2x2 footprint corner cells.
 
-    cases9 i32[N, 9] in (a-channel slow, b-channel fast) order; returns
-    (cases i32[N, k], ca f32[N, k], cb f32[N, k], dropped bool[N] — true
-    when a (k+1)-th distinct nonzero cell had to be dropped; needs >= 5
-    distinct surface cells in one 3x3 footprint, essentially never, and
-    the round loop re-sweeps such texels from the failed slab on a miss).
+    Valid when |slope| <= 1 (the ``kcells == 4`` static gate): the
+    footprint interval [p - half, p + half] with half <= 0.5 spans at most
+    the two consecutive cells {floor(p - half), floor(p + half)}, both
+    within floor(p) +- 1. Returns (slots i32[m, 4], da f32[m, 4],
+    db f32[m, 4]) with slot = (da + 1) * 3 + (db + 1).
     """
-    iota9 = jnp.arange(9, dtype=jnp.int32)[None, :]
-    m = cases9 > 0
-
-    def sel(idx):
-        oh = (iota9 == jnp.minimum(idx, 8)[:, None])
-        c = (cases9 * oh).sum(axis=1)
-        c = jnp.where(idx < 9, c, 0)
-        a_ch = jnp.minimum(idx, 8) // 3
-        b_ch = jnp.minimum(idx, 8) % 3
-        a3 = (jnp.arange(3)[None, :] == a_ch[:, None]).astype(ca3.dtype)
-        ca = (ca3 * a3).sum(axis=1)
-        cb = (cb3 * (jnp.arange(3)[None, :] == b_ch[:, None])).sum(axis=1)
-        return c, ca, cb
-
-    out_c, out_a, out_b = [], [], []
-    for _ in range(k):
-        idx = jnp.min(jnp.where(m, iota9, 9), axis=1)
-        c, ca, cb = sel(idx)
-        out_c.append(c)
-        out_a.append(ca)
-        out_b.append(cb)
-        m = m & (iota9 != idx[:, None])
-    dropped = m.any(axis=1)
-    return (jnp.stack(out_c, 1), jnp.stack(out_a, 1),
-            jnp.stack(out_b, 1), dropped)
+    fa0 = jnp.floor(pa - half_a) - ca                       # in {-1, 0}
+    fa1 = jnp.floor(pa + half_a) - ca                       # in {0, 1}
+    fb0 = jnp.floor(pb - half_b) - cb
+    fb1 = jnp.floor(pb + half_b) - cb
+    da = jnp.stack([fa0, fa0, fa1, fa1], axis=1)
+    db = jnp.stack([fb0, fb1, fb0, fb1], axis=1)
+    slots = ((da + 1.0) * 3.0 + (db + 1.0)).astype(jnp.int32)
+    return slots, da, db
 
 
 @functools.partial(
@@ -456,9 +453,13 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
     half_a = 0.5 * jnp.abs((uaf - eye_a) / (z0 - eye_s))
     half_b = 0.5 * jnp.abs((ubf - eye_b) / (z0 - eye_s))
 
-    # round-invariant hats, hoisted out of the round loop
-    hats = _build_mesh_hats(scal, case_sw.shape[0], s_valid, a_size, b_size,
-                            IH, IW, flip)
+    # round-invariant detection hats + derived volumes, hoisted out of
+    # the round loop (all camera-dependent but ROUND-invariant)
+    hats = _build_detect_hats(scal, case_sw.shape[0], s_valid, a_size,
+                              b_size, IH, IW, flip)
+    detect_sw = _detect_volume(case_sw)
+    pk = _build_packed_cases(case_sw)
+    npk = pk.shape[0]
 
     tri_loc = tri_table.reshape(256, 5, 3, 3)           # xyz cell-local
     # permute xyz -> (s, a, b) once (tiny static table op)
@@ -466,47 +467,57 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
     tri_sab = jnp.einsum("ctvx,sx->ctvs", tri_loc, perm).reshape(256, 45)
     det_sign = -1.0 if axis_world == 1 else 1.0
 
-    cand_osh, cand_p = _sweep_candidates(
-        case_sw, shadow_sw, hats, n_chunks, s_valid, a_size, b_size,
-        IH, IW, flip,
+    cand_bits = _sweep_candidates(
+        detect_sw, hats, n_chunks, s_valid, a_size, b_size, IH, IW, flip,
     )
-    C = cand_osh.shape[1]
     case_iota = jnp.arange(256, dtype=jnp.int32)
     tri_bf = tri_sab.astype(jnp.bfloat16)
 
-    def slab_pass(o_j, p3_j, geo):
-        """Resolve one candidate slab per row: cell fetch + exact MT.
+    def slab_pass(o_j, geo):
+        """Resolve one candidate slab per row: packed case fetch + exact MT.
 
         Returns (anyhit, t_min (|rd| units), normal_sab [m,3], wcase,
-        wtri)."""
+        wtri, fi_cell — the struck cell's flat sweep-layout index, for
+        the post-round shadow fetch)."""
         uaf_, ubf_, half_a_, half_b_, ro_sab_, rd_sab_, _ = geo
         k = (f32(s_valid) - 1.0 - o_j) if flip else o_j
         s_scale = (z0 - eye_s) / (k + 0.5 - eye_s)
         pa = (uaf_ - eye_a) / s_scale + eye_a
         pb = (ubf_ - eye_b) / s_scale + eye_b
-        ca3 = jnp.stack([jnp.floor(pa - half_a_), jnp.floor(pa + half_a_),
-                         jnp.floor(pa)], axis=1)
-        cb3 = jnp.stack([jnp.floor(pb - half_b_), jnp.floor(pb + half_b_),
-                         jnp.floor(pb)], axis=1)
+        ca = jnp.floor(pa)
+        cb = jnp.floor(pb)
+        fi = ((o_j * a_size + ca) * b_size + cb).astype(jnp.int32)
+
+        def fetch(off):
+            v = jnp.take(pk, jnp.clip(fi + off, 0, npk - 1))
+            ok = (cb + off >= 0) & (cb + off <= b_size - 1)
+            return jnp.where(ok, v, 0.0)
 
         def unpack3(p):
-            c_ce = jnp.floor(p / 65536.0)
-            r = p - c_ce * 65536.0
-            c_hi = jnp.floor(r / 256.0)
-            return r - c_hi * 256.0, c_hi, c_ce
+            c_ap1 = jnp.floor(p / 65536.0)
+            r = p - c_ap1 * 65536.0
+            c_a = jnp.floor(r / 256.0)
+            return r - c_a * 256.0, c_a, c_ap1      # cases at a-1, a, a+1
 
+        u3 = [unpack3(fetch(off)) for off in (-1, 0, 1)]    # [db][da]
         cases9 = jnp.stack(
-            sum((list(unpack3(p)) for p in p3_j), []), axis=1,
+            [u3[db][da] for da in range(3) for db in range(3)], axis=1,
         ).astype(jnp.int32)                             # [m, 9] a-slow
         if kcells >= 9:
             # test the whole 3x3 footprint (complete for |slope| <= 2)
             casesk = cases9
-            cak = jnp.repeat(ca3, 3, axis=1)
-            cbk = jnp.tile(cb3, (1, 3))
+            d9 = jnp.asarray([-1.0] * 3 + [0.0] * 3 + [1.0] * 3, f32)
+            e9 = jnp.asarray([-1.0, 0.0, 1.0] * 3, f32)
+            cak = ca[:, None] + d9[None, :]
+            cbk = cb[:, None] + e9[None, :]
         else:
-            # |slope| <= 1: footprints hold <= 4 distinct cells (the
-            # center channels are duplicate-zeroed), so top-4 is complete
-            casesk, cak, cbk, _ = _topk_cells(cases9, ca3, cb3, kcells)
+            # |slope| <= 1: the exact footprint is the 2x2 corner-cell set
+            slots, da4, db4 = _footprint_slots(pa, pb, half_a_, half_b_,
+                                               ca, cb)
+            oh9 = slots[:, :, None] == jnp.arange(9, dtype=jnp.int32)
+            casesk = (cases9[:, None, :] * oh9).sum(axis=2)
+            cak = ca[:, None] + da4
+            cbk = cb[:, None] + db4
 
         onehot = (casesk[:, :, None] == case_iota[None, None, :]
                   ).astype(jnp.bfloat16)
@@ -524,136 +535,139 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
         selm = (jnp.arange(m_tris)[None, :] == widx[:, None]).astype(f32)
         wtri = (tri_w * selm[:, :, None, None]).sum(axis=1)
         nr = jnp.cross(wtri[:, 1] - wtri[:, 0], wtri[:, 2] - wtri[:, 0])
-        wcase = (casesk * (jnp.arange(kcells)[None, :]
-                           == (widx // 5)[:, None])).sum(1)
-        return (hitm.any(axis=1), t_min, nr, wcase, widx % 5)
+        cellsel = jnp.arange(kcells)[None, :] == (widx // 5)[:, None]
+        wcase = (casesk * cellsel).sum(1)
+        ca_w = (cak * cellsel).sum(1)
+        cb_w = (cbk * cellsel).sum(1)
+        fi_cell = ((o_j * a_size + ca_w) * b_size + cb_w).astype(jnp.int32)
+        return (hitm.any(axis=1), t_min, nr, wcase, widx % 5, fi_cell)
 
-    def consume_round(st, c_osh, c_p, geo):
-        """Test each row's next untested candidate; advance or resolve.
-
-        A miss on a candidate whose subchunk hides untested crossings
-        (`extra` bit) is counted in `blocked` and scanning continues —
-        any later hit may then be behind the true first hit (documented
-        farther-hit approximation, bounded by the oracle tests)."""
+    def consume_round(st, c_bits, geo):
+        """Test each row's next untested crossing slab; advance or
+        resolve. Selection is find-first-set >= ptr over the bit field —
+        exact slab order, so accepted hits are the true first hits
+        (up to the in-slab 3x3 cell superset, bounded by oracle tests)."""
         rd_len_ = geo[6]
         ptr, resolved = st["ptr"], st["resolved"]
-        ci = jnp.arange(C, dtype=jnp.int32)[None, :]
-        elig = (c_osh < 4.0 * f32(s_valid)) & (ci >= ptr[:, None])
-        has = elig.any(1)
-        idx = jnp.argmax(elig, axis=1).astype(jnp.int32)
-        oh = ci == idx[:, None]
-        osh_sel = jnp.where(oh, c_osh, 0.0).sum(1)
-        p3_sel = tuple(jnp.where(oh, p, 0.0).sum(1) for p in c_p)
-        o_j = jnp.floor(osh_sel / 4.0)
-        rem = osh_sel - 4.0 * o_j
-        extra = rem >= 2.0
-        shbit = rem - jnp.where(extra, 2.0, 0.0)
-        anyhit, t_min, nr, wcase, wtri_i = slab_pass(o_j, p3_sel, geo)
+        has, o_i = _first_set_from(c_bits, ptr)
+        anyhit, t_min, nr, wcase, wtri_i, fi_cell = slab_pass(
+            o_i.astype(f32), geo)
 
         act = ~resolved & has
         newly = act & anyhit
         miss = act & ~anyhit
         exh = ~resolved & ~has
         return dict(
-            ptr=jnp.where(miss, idx + 1, ptr),
+            ptr=jnp.where(miss, o_i + 1, ptr),
             resolved=resolved | newly | exh,
             hit=st["hit"] | newly,
             t=jnp.where(newly, t_min * rd_len_, st["t"]),
             nrm_sab=jnp.where(newly[:, None], nr, st["nrm_sab"]),
-            sh=jnp.where(newly, shbit, st["sh"]),
+            fi=jnp.where(newly, fi_cell, st["fi"]),
             case=jnp.where(newly, wcase, st["case"]),
             tri=jnp.where(newly, wtri_i, st["tri"]),
-            blocked=st["blocked"] + jnp.sum(miss & extra),
         )
 
     def init_state(m, ptr, resolved):
         return dict(
             ptr=ptr, resolved=resolved,
             hit=jnp.zeros(m, bool), t=jnp.zeros(m, f32),
-            nrm_sab=jnp.zeros((m, 3), f32), sh=jnp.zeros(m, f32),
+            nrm_sab=jnp.zeros((m, 3), f32), fi=jnp.zeros(m, jnp.int32),
             case=jnp.zeros(m, jnp.int32), tri=jnp.zeros(m, jnp.int32),
-            blocked=jnp.zeros((), jnp.int32),
         )
 
+    # ---- compaction LADDER ----
+    # Round cost is linear in the row count while the surviving-texel
+    # count decays ~2x per round (hist), so work always runs at the
+    # narrowest width that fits the survivors: rows with NO crossing at
+    # all resolve before any round (the bit field says so for free), and
+    # a stage only exits to the next when its survivors FIT the next
+    # width (or the round budget runs out — residue surfaces in the
+    # `overflow` stat), so rows are never silently dropped.
     geoA = (uaf, ubf, half_a, half_b, ro_sab, rd_sab, rd_len)
-    stA = init_state(N, jnp.zeros(N, jnp.int32), jnp.zeros(N, bool))
+    no_cand = ~(cand_bits != 0).any(axis=1)
+    g = init_state(N, jnp.zeros(N, jnp.int32), no_cand)
     hist = jnp.zeros(max_rounds, jnp.int32)
-    n_a = min(_PHASE_A, max_rounds)
-    for r in range(n_a):
-        stA = consume_round(stA, cand_osh, cand_p, geoA)
-        hist = hist.at[r].set(jnp.sum(~stA["resolved"]))
+    rounds_t = jnp.zeros((), jnp.int32)
+    overflow = jnp.zeros((), jnp.int32)
 
-    # Straggler compaction: the surviving rows (grazing rays crossing
-    # many surface cells) iterate at 1/2 the footprint from here on.
-    M = max(64, N // 2)
+    widths, w = [], N
+    for sh_ in (1, 2, 3, 4, 6):
+        w2 = max(128, N >> sh_)
+        if w2 < w:
+            widths.append(w2)
+            w = w2
+    targets = widths + [tol_texels]
 
-    # If more than M rows are still unresolved, keep consuming at full
-    # resolution until the survivors fit the compacted footprint (bounded
-    # by the round budget) instead of silently dropping the overflow; any
-    # residual overflow is surfaced via the `overflow` stat.
-    stA["extra"] = jnp.zeros((), jnp.int32)
+    def run_stage(carry, width, next_target, geo_s, c_bits_s, ptr_s, dead):
+        st_l = init_state(width, ptr_s, dead)
+        st_l["rounds_t"], st_l["hist"] = carry
 
-    def condA(s):
-        return ((s["extra"] < max_rounds - n_a)
-                & (jnp.sum(~s["resolved"]) > M))
+        def cond(s):
+            return ((s["rounds_t"] < max_rounds)
+                    & (jnp.sum(~s["resolved"]) > next_target))
 
-    def bodyA(s):
-        s2 = consume_round(s, cand_osh, cand_p, geoA)
-        s2["extra"] = s["extra"] + 1
-        return s2
+        def body(s):
+            s2 = consume_round(s, c_bits_s, geo_s)
+            s2["rounds_t"] = s["rounds_t"] + 1
+            s2["hist"] = s["hist"].at[s["rounds_t"]].set(
+                jnp.sum(~s2["resolved"]))
+            return s2
 
-    stA = jax.lax.while_loop(condA, bodyA, stA)
-    extra_a = stA["extra"]
+        return jax.lax.while_loop(cond, body, st_l)
 
-    unres = ~stA["resolved"]
-    n_unres = jnp.sum(unres)
-    idxs = jnp.nonzero(unres, size=M, fill_value=N)[0]
-    row_valid = jnp.arange(M) < jnp.minimum(n_unres, M)
-    idxs_c = jnp.minimum(idxs, N - 1)
-    uaf_b, ubf_b = uaf[idxs_c], ubf[idxs_c]
-    half_a_b = 0.5 * jnp.abs((uaf_b - eye_a) / (z0 - eye_s))
-    half_b_b = 0.5 * jnp.abs((ubf_b - eye_b) / (z0 - eye_s))
-    ro_sab_b = jnp.stack([jnp.broadcast_to(eye_s, (M,)),
-                          jnp.broadcast_to(eye_a, (M,)),
-                          jnp.broadcast_to(eye_b, (M,))], 1)
-    rd_sab_b = jnp.stack([jnp.broadcast_to(z0 - eye_s, (M,)),
-                          uaf_b - eye_a, ubf_b - eye_b], 1)
-    rd_len_b = rd_len[idxs_c]
-    geoB = (uaf_b, ubf_b, half_a_b, half_b_b, ro_sab_b, rd_sab_b, rd_len_b)
-    c_oshB = cand_osh[idxs_c]
-    c_pB = tuple(p[idxs_c] for p in cand_p)
-    stB = init_state(M, stA["ptr"][idxs_c], ~row_valid)
-    stB["rounds"] = jnp.zeros((), jnp.int32)
-    stB["hist"] = hist
+    # stage 0 runs at full width inside the same machinery (covers the
+    # "survivors still exceed widths[0]" overflow rounds)
+    st0 = run_stage((rounds_t, hist), N, targets[0] if widths else tol_texels,
+                    geoA, cand_bits, g["ptr"], g["resolved"])
+    rounds_t, hist = st0["rounds_t"], st0["hist"]
+    for k in ("ptr", "resolved", "hit", "t", "nrm_sab", "fi", "case", "tri"):
+        upd = st0[k]
+        if k in ("ptr", "resolved"):
+            g[k] = upd
+        else:
+            g[k] = jnp.where(
+                st0["hit"][:, None] if upd.ndim == 2 else st0["hit"],
+                upd, g[k])
 
-    def condB(s):
-        return ((s["rounds"] < max_rounds - n_a - extra_a)
-                & (jnp.sum(~s["resolved"]) > tol_texels))
+    for si, M in enumerate(widths):
+        next_target = targets[si + 1]
+        unres = ~g["resolved"]
+        n_unres = jnp.sum(unres)
+        overflow = overflow + jnp.maximum(n_unres - M, 0)
+        idxs = jnp.nonzero(unres, size=M, fill_value=N)[0]
+        row_valid = jnp.arange(M) < jnp.minimum(n_unres, M)
+        idxs_c = jnp.minimum(idxs, N - 1)
+        uaf_s, ubf_s = uaf[idxs_c], ubf[idxs_c]
+        geo_s = (
+            uaf_s, ubf_s,
+            0.5 * jnp.abs((uaf_s - eye_a) / (z0 - eye_s)),
+            0.5 * jnp.abs((ubf_s - eye_b) / (z0 - eye_s)),
+            jnp.stack([jnp.broadcast_to(eye_s, (M,)),
+                       jnp.broadcast_to(eye_a, (M,)),
+                       jnp.broadcast_to(eye_b, (M,))], 1),
+            jnp.stack([jnp.broadcast_to(z0 - eye_s, (M,)),
+                       uaf_s - eye_a, ubf_s - eye_b], 1),
+            rd_len[idxs_c],
+        )
+        st_l = run_stage((rounds_t, hist), M, next_target, geo_s,
+                         cand_bits[idxs_c], g["ptr"][idxs_c], ~row_valid)
+        rounds_t, hist = st_l["rounds_t"], st_l["hist"]
 
-    def bodyB(s):
-        s2 = consume_round(s, c_oshB, c_pB, geoB)
-        s2["rounds"] = s["rounds"] + 1
-        s2["hist"] = s["hist"].at[n_a + s["rounds"]].set(
-            jnp.sum(~s2["resolved"]))
-        return s2
+        def put(dst, src, mask):
+            tgt = jnp.where(row_valid & mask, idxs, N)
+            return dst.at[tgt].set(src, mode="drop")
 
-    stB = jax.lax.while_loop(condB, bodyB, stB)
+        for k in ("hit", "t", "fi", "case", "tri"):
+            g[k] = put(g[k], st_l[k], st_l["hit"])
+        g["nrm_sab"] = g["nrm_sab"].at[
+            jnp.where(row_valid & st_l["hit"], idxs, N)].set(
+            st_l["nrm_sab"], mode="drop")
+        g["ptr"] = put(g["ptr"], st_l["ptr"], jnp.ones(M, bool))
+        g["resolved"] = put(g["resolved"], st_l["resolved"],
+                            jnp.ones(M, bool))
 
-    # Scatter phase-B results back (fill rows target index N -> dropped).
-    def put(dst, src, mask):
-        tgt = jnp.where(row_valid & mask, idxs, N)
-        return dst.at[tgt].set(src, mode="drop")
-
-    hit = put(stA["hit"], stB["hit"], stB["hit"])
-    t = put(stA["t"], stB["t"], stB["hit"])
-    sh = put(stA["sh"], stB["sh"], stB["hit"])
-    case = put(stA["case"], stB["case"], stB["hit"])
-    tri = put(stA["tri"], stB["tri"], stB["hit"])
-    nrm_sab = stA["nrm_sab"].at[
-        jnp.where(row_valid & stB["hit"], idxs, N)].set(
-        stB["nrm_sab"], mode="drop")
-    resolved = stA["resolved"].at[
-        jnp.where(row_valid, idxs, N)].set(stB["resolved"], mode="drop")
+    hit, t, nrm_sab = g["hit"], g["t"], g["nrm_sab"]
 
     nrm_w = det_sign * (
         nrm_sab[:, 0:1] * sel_s[None, :]
@@ -662,16 +676,25 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
     nl = jnp.linalg.norm(nrm_w, axis=-1, keepdims=True)
     nrm_w = jnp.where(hit[:, None], nrm_w / jnp.maximum(nl, 1e-30), 0.0)
 
-    rounds = n_a + extra_a + stB["rounds"]
+    # Shadow term at the struck cell: ONE post-round fetch from the
+    # sweep-layout shadow volume (the round-2 sweep instead carried a
+    # shadow channel through every candidate — a full extra einsum chain
+    # per chunk for a bit only ever read at the accepted hit).
+    if has_shadow:
+        shf = shadow_sw.reshape(-1).astype(f32)
+        sh_at = jnp.take(shf, jnp.clip(g["fi"], 0, shf.shape[0] - 1))
+        sh = jnp.where(hit, (sh_at > 0.5).astype(f32), 0.0)
+    else:
+        sh = jnp.zeros(N, f32)
+
     point = ro + rd * jnp.where(hit, t / jnp.maximum(rd_len, 1e-30),
                                 0.0)[:, None]
     return dict(
         hit=hit, t=jnp.where(hit, t, 0.0), normal=nrm_w,
-        point=point, shadow=sh, case=case, tri=tri,
-        rounds=rounds, unresolved=jnp.sum(~resolved),
-        overflow=jnp.maximum(n_unres - M, 0),
-        blocked=stA["blocked"] + stB["blocked"],
-        hist=stB["hist"], ray_o=ro, ray_d=rd,
+        point=point, shadow=sh, case=g["case"], tri=g["tri"],
+        rounds=rounds_t, unresolved=jnp.sum(~g["resolved"]),
+        overflow=overflow, blocked=jnp.zeros((), jnp.int32),
+        hist=hist, ray_o=ro, ray_d=rd,
     )
 
 

@@ -77,22 +77,20 @@ _AXIS_SELECTORS = {
 _SCAL_N = 43
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_chunks", "s_valid", "a_size", "b_size",
-                     "inter_h", "inter_w", "flip"),
-)
-def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
-               b_size: int, inter_h: int, inter_w: int, flip: bool,
-               shadow_sw=None):
-    """hats + chunked MXU first-hit loop + packing, one program.
+def _sweep_core(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
+                b_size: int, inter_h: int, inter_w: int, flip: bool,
+                shadow_sw=None, o_base=None):
+    """hats + chunked MXU first-hit loop; traceable core.
 
-    Returns the packed (hit ? slice_center : -1) field, flattened. When
-    ``shadow_sw`` (the shadow volume in the same sweep layout) is given,
-    it is resampled alongside occupancy and its value AT the first hit is
-    packed into the same float: value = k + 0.5 + 2048 * shadowed_bit —
-    one downstream warp gather recovers depth and shadow together, so the
-    frame needs no per-pixel attribute gathers at all.
+    Returns (first_o f32[IH, IW] — GLOBAL layout-row index of the first
+    hit, sentinel s_valid + 1 on miss — and sh_first, the shadow sample
+    at that hit). ``o_base`` (traced scalar, default 0) offsets the local
+    slab rows into global row indices: a device holding only the slab
+    rows [o_base, o_base + sp) of the sweep layout computes the exact
+    restriction of the full sweep to its segment, and the global first
+    hit is the plain minimum of per-device first_o (ray order == layout
+    row order) — the SP decomposition of parallel/sharding.py's
+    ``sweep_frame_segmented``.
     """
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -104,7 +102,8 @@ def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
     ua = a_min + (a_max - a_min) * (jnp.arange(inter_h, dtype=f32) + 0.5) / inter_h
     ub = b_min + (b_max - b_min) * (jnp.arange(inter_w, dtype=f32) + 0.5) / inter_w
 
-    o_all = jnp.arange(sp, dtype=f32)
+    ob = f32(0) if o_base is None else jnp.asarray(o_base).astype(f32)
+    o_all = jnp.arange(sp, dtype=f32) + ob
     k_all = (f32(s_valid) - 1.0 - o_all) if flip else o_all
     s_all = (z0 - eye_s) / (k_all + 0.5 - eye_s)
     pa_all = (ua[None, :] - eye_a) / s_all[:, None] + eye_a
@@ -114,7 +113,7 @@ def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
     ma_all = jnp.maximum(0.0, 1.0 - jnp.abs(pa_all[..., None] - 0.5 - ia)).astype(bf16)
     mb_all = jnp.maximum(0.0, 1.0 - jnp.abs(pb_all[..., None] - 0.5 - ib)).astype(bf16)
 
-    big_o = f32(sp + 1)
+    big_o = f32(s_valid + 1)
     has_sh = shadow_sw is not None
     ci_iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 1, 1), 0)
 
@@ -132,7 +131,7 @@ def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
         hits = sh > 0.5
         am = jnp.argmax(hits, axis=0)
         cand = jnp.where(
-            hits.any(axis=0), (ci * CH + am).astype(f32), big_o,
+            hits.any(axis=0), (ci * CH + am).astype(f32) + ob, big_o,
         )
         upd = cand < first_o
         if has_sh:
@@ -144,17 +143,49 @@ def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
             sh_first = jnp.where(upd, sh_at, sh_first)
         return jnp.where(upd, cand, first_o), sh_first
 
-    first_o, sh_first = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, n_chunks, chunk,
         (jnp.full((inter_h, inter_w), big_o),
          jnp.zeros((inter_h, inter_w), f32)),
     )
+
+
+def _pack_first_o(first_o, sh_first, s_valid: int, flip: bool, has_sh: bool):
+    """(first_o, sh_first) -> the packed (hit ? k + 0.5 [+2048*sh] : -1)
+    field, flattened. Split from the sweep so the segmented multi-chip
+    path can pack AFTER its cross-device min-combine."""
+    f32 = jnp.float32
     hit_i = first_o < f32(s_valid)
     k_first = (f32(s_valid) - 1.0 - first_o) if flip else first_o
     packed = k_first + 0.5
     if has_sh:
         packed = packed + jnp.where(sh_first > 0.5, 2048.0, 0.0)
     return jnp.where(hit_i, packed, -1.0).reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "s_valid", "a_size", "b_size",
+                     "inter_h", "inter_w", "flip"),
+)
+def _sweep_all(vol_bf, scal, n_chunks: int, s_valid: int, a_size: int,
+               b_size: int, inter_h: int, inter_w: int, flip: bool,
+               shadow_sw=None):
+    """hats + chunked MXU first-hit loop + packing, one program.
+
+    Returns the packed (hit ? slice_center : -1) field, flattened. When
+    ``shadow_sw`` (the shadow volume in the same sweep layout) is given,
+    it is resampled alongside occupancy and its value AT the first hit is
+    packed into the same float: value = k + 0.5 + 2048 * shadowed_bit —
+    one downstream warp gather recovers depth and shadow together, so the
+    frame needs no per-pixel attribute gathers at all.
+    """
+    first_o, sh_first = _sweep_core(
+        vol_bf, scal, n_chunks, s_valid, a_size, b_size,
+        inter_h, inter_w, flip, shadow_sw=shadow_sw,
+    )
+    return _pack_first_o(first_o, sh_first, s_valid, flip,
+                         shadow_sw is not None)
 
 
 @functools.partial(
