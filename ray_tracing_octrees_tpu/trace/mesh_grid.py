@@ -346,30 +346,6 @@ def _first_set_from(bits, ptr):
     return has, o
 
 
-def _moller_trumbore_m(ro, rd, tri):
-    """MT of one ray per texel vs its M candidate triangles.
-
-    ro f32[N, 3], rd f32[N, 3] (unnormalized), tri f32[N, M, 3, 3].
-    Returns (hit bool[N,M], t f32[N,M] in units of |rd|).
-    """
-    eps = jnp.float32(_MT_EPS)
-    v0, v1, v2 = tri[:, :, 0], tri[:, :, 1], tri[:, :, 2]
-    e1 = v1 - v0
-    e2 = v2 - v0
-    rdn = rd[:, None, :]
-    pvec = jnp.cross(rdn, e2)
-    det = (e1 * pvec).sum(-1)
-    ok = jnp.abs(det) > eps
-    inv_det = 1.0 / jnp.where(ok, det, 1.0)
-    tvec = ro[:, None, :] - v0
-    u = (tvec * pvec).sum(-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = (rdn * qvec).sum(-1) * inv_det
-    tt = (e2 * qvec).sum(-1) * inv_det
-    hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (tt > eps)
-    return hit, tt
-
-
 def _footprint_slots(pa, pb, half_a, half_b, ca, cb):
     """Slot indices (into the 3x3 fetch, a-slow b-fast) of the ray's exact
     2x2 footprint corner cells.
@@ -390,17 +366,83 @@ def _footprint_slots(pa, pb, half_a, half_b, ca, cb):
     return slots, da, db
 
 
+@functools.lru_cache(maxsize=4)
+def _mt_const_np(axis_world: int) -> np.ndarray:
+    """[256, 128] packed Moller-Trumbore dot-constant table (bf16-exact).
+
+    With the ray in CELL-LOCAL sweep coordinates (ro' = ro_sab - cell,
+    w = ro' x rd) every MT quantity is a dot of a per-(case, triangle)
+    constant with a per-row q-vector (standard triple-product
+    identities)::
+
+        det     = rd . (e2 x e1)
+        u * det = e2 . w  - rd . (e2 x v0)
+        v * det = -e1 . w - rd . (v0 x e1)
+        t * det = n . ro' - n . v0            (n = e1 x e2)
+
+    so the whole 5-triangle MT for one cell is ONE one-hot MXU fetch of
+    this table plus a 6-term weighted lane sum — no [m, K, 3, 3]
+    geometry intermediates (those tile at ~40x their bytes on TPU).
+    Lane layout:
+
+    - 0..89    six 15-lane j-blocks (j = rd_s, rd_a, rd_b, w_s, w_a,
+               w_b), each block det*5 | ud*5 | vd*5
+    - 90..109  four 5-lane j-blocks (j = ro'_s, ro'_a, ro'_b, 1): td*5
+    - 110..124 n[tri * 3 + comp] (unnormalized cross(e1, e2))
+
+    Every entry is a multiple of 1/8 bounded by ~3 — EXACT in bf16
+    (asserted), so the bf16 one-hot fetch reproduces the constants
+    bit-exactly. Triangle vertices are the same case table as the
+    geometric path, permuted xyz -> (s, a, b) for ``axis_world``.
+    """
+    verts, _ = _case_tables_np()                    # [256, 5, 3, 3] xyz
+    perm = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis_world]
+    v = verts[..., perm].astype(np.float64)         # (s, a, b) coords
+    v0, v1, v2 = v[:, :, 0], v[:, :, 1], v[:, :, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = np.cross(e1, e2)
+    k_det = np.cross(e2, e1)
+    k_u_rd = -np.cross(e2, v0)
+    k_u_w = e2
+    k_v_rd = -np.cross(v0, e1)
+    k_v_w = -e1
+    k_t_ro = n
+    k_t_1 = -(n * v0).sum(-1)
+
+    tab = np.zeros((256, 128), np.float64)
+    for j in range(3):                              # rd j-blocks
+        b = j * 15
+        tab[:, b:b + 5] = k_det[..., j]
+        tab[:, b + 5:b + 10] = k_u_rd[..., j]
+        tab[:, b + 10:b + 15] = k_v_rd[..., j]
+    for j in range(3):                              # w j-blocks
+        b = (3 + j) * 15
+        tab[:, b + 5:b + 10] = k_u_w[..., j]
+        tab[:, b + 10:b + 15] = k_v_w[..., j]
+    for j in range(3):                              # ro' j-blocks (td)
+        tab[:, 90 + j * 5:95 + j * 5] = k_t_ro[..., j]
+    tab[:, 105:110] = k_t_1
+    for t in range(5):
+        tab[:, 110 + t * 3:113 + t * 3] = n[:, t]
+
+    rt = tab.astype(jnp.bfloat16).astype(np.float64)
+    if not np.array_equal(rt, tab):
+        raise AssertionError("MT dot-constant table not bf16-exact")
+    return tab.astype(jnp.bfloat16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
                      "inter_w", "flip", "axis_world", "max_rounds",
-                     "tol_texels", "has_shadow", "kcells"),
+                     "tol_texels", "has_shadow", "kcells", "use_kernel"),
 )
-def _trace_texels(case_sw, shadow_sw, tri_table, scal,
+def _trace_texels(case_sw, shadow_sw, scal,
                   n_chunks: int, s_valid: int, a_size: int, b_size: int,
                   inter_h: int, inter_w: int, flip: bool, axis_world: int,
                   max_rounds: int, tol_texels: int, has_shadow: bool,
-                  kcells: int = 9):
+                  kcells: int = 9, use_kernel: bool = False):
     """Full texel-space trace: rounds of (slot sweep + chained MT passes).
 
     Each round: one sweep collects up to _SLOTS candidate slabs per texel;
@@ -458,28 +500,44 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
     hats = _build_detect_hats(scal, case_sw.shape[0], s_valid, a_size,
                               b_size, IH, IW, flip)
     detect_sw = _detect_volume(case_sw)
-    pk = _build_packed_cases(case_sw)
-    npk = pk.shape[0]
+    if use_kernel:
+        from ray_tracing_octrees_tpu.trace.mesh_round_kernel import (
+            build_case_table, mt_tables, slab_pass_kernel,
+        )
 
-    tri_loc = tri_table.reshape(256, 5, 3, 3)           # xyz cell-local
-    # permute xyz -> (s, a, b) once (tiny static table op)
-    perm = jnp.stack([sel_s, sel_a, sel_b])             # [3(sab), 3(xyz)]
-    tri_sab = jnp.einsum("ctvx,sx->ctvs", tri_loc, perm).reshape(256, 45)
+        th = (a_size + 2) + ((-(a_size + 2)) % 8)
+        ct = build_case_table(case_sw, th)
+        f_a, f_b = mt_tables(axis_world)
+        scal_k = jnp.stack([eye_s, eye_a, eye_b, z0,
+                            jnp.float32(_MT_EPS)])
+    else:
+        pk = _build_packed_cases(case_sw)
+        npk = pk.shape[0]
+
     det_sign = -1.0 if axis_world == 1 else 1.0
 
     cand_bits = _sweep_candidates(
         detect_sw, hats, n_chunks, s_valid, a_size, b_size, IH, IW, flip,
     )
     case_iota = jnp.arange(256, dtype=jnp.int32)
-    tri_bf = tri_sab.astype(jnp.bfloat16)
 
-    def slab_pass(o_j, geo):
+    def slab_pass(o_j, act, geo):
         """Resolve one candidate slab per row: packed case fetch + exact MT.
 
         Returns (anyhit, t_min (|rd| units), normal_sab [m,3], wcase,
-        wtri, fi_cell — the struck cell's flat sweep-layout index, for
-        the post-round shadow fetch)."""
+        wtri, wca, wcb). Two implementations: the Pallas kernel
+        (trace/mesh_round_kernel.py — MXU case fetch + dot-constant MT,
+        ~20x the XLA form) when ``use_kernel``, else the XLA reference
+        path below."""
         uaf_, ubf_, half_a_, half_b_, ro_sab_, rd_sab_, _ = geo
+        if use_kernel:
+            anyhit, tt, wcase, wtri, wca, wcb, nr = slab_pass_kernel(
+                o_j, act, uaf_, ubf_, ct, f_a, f_b, scal_k,
+                s_valid=s_valid, flip=flip, b2=b_size + 2,
+                a_size=a_size, b_size=b_size,
+                kcells=(4 if kcells <= 4 else 6),
+            )
+            return anyhit, tt, nr, wcase, wtri, wca, wcb
         k = (f32(s_valid) - 1.0 - o_j) if flip else o_j
         s_scale = (z0 - eye_s) / (k + 0.5 - eye_s)
         pa = (uaf_ - eye_a) / s_scale + eye_a
@@ -505,42 +563,73 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
         ).astype(jnp.int32)                             # [m, 9] a-slow
         if kcells >= 9:
             # test the whole 3x3 footprint (complete for |slope| <= 2)
-            casesk = cases9
-            d9 = jnp.asarray([-1.0] * 3 + [0.0] * 3 + [1.0] * 3, f32)
-            e9 = jnp.asarray([-1.0, 0.0, 1.0] * 3, f32)
-            cak = ca[:, None] + d9[None, :]
-            cbk = cb[:, None] + e9[None, :]
+            slot_list = [(cases9[:, j], f32(j // 3 - 1), f32(j % 3 - 1))
+                         for j in range(9)]
         else:
             # |slope| <= 1: the exact footprint is the 2x2 corner-cell set
             slots, da4, db4 = _footprint_slots(pa, pb, half_a_, half_b_,
                                                ca, cb)
             oh9 = slots[:, :, None] == jnp.arange(9, dtype=jnp.int32)
             casesk = (cases9[:, None, :] * oh9).sum(axis=2)
-            cak = ca[:, None] + da4
-            cbk = cb[:, None] + db4
+            slot_list = [(casesk[:, j], da4[:, j], db4[:, j])
+                         for j in range(4)]
 
-        onehot = (casesk[:, :, None] == case_iota[None, None, :]
-                  ).astype(jnp.bfloat16)
-        tv = jnp.einsum("nqc,cv->nqv", onehot, tri_bf,
-                        preferred_element_type=f32)     # [m, K, 45]
-        cell_sab = jnp.stack(
-            [jnp.broadcast_to(k[:, None], cak.shape), cak, cbk], -1)
-        m_tris = kcells * 5
-        tri_w = (cell_sab[:, :, None, None, :]
-                 + tv.reshape(-1, kcells, 5, 3, 3)).reshape(-1, m_tris, 3, 3)
-        hitm, tm = _moller_trumbore_m(ro_sab_, rd_sab_, tri_w)
-        tmm = jnp.where(hitm, tm, _BIG)
-        t_min = tmm.min(axis=1)
-        widx = jnp.argmin(tmm, axis=1)
-        selm = (jnp.arange(m_tris)[None, :] == widx[:, None]).astype(f32)
-        wtri = (tri_w * selm[:, :, None, None]).sum(axis=1)
-        nr = jnp.cross(wtri[:, 1] - wtri[:, 0], wtri[:, 2] - wtri[:, 0])
-        cellsel = jnp.arange(kcells)[None, :] == (widx // 5)[:, None]
-        wcase = (casesk * cellsel).sum(1)
-        ca_w = (cak * cellsel).sum(1)
-        cb_w = (cbk * cellsel).sum(1)
-        fi_cell = ((o_j * a_size + ca_w) * b_size + cb_w).astype(jnp.int32)
-        return (hitm.any(axis=1), t_min, nr, wcase, widx % 5, fi_cell)
+        # Dot-constant MT (see _mt_const_np): per footprint cell, ONE
+        # one-hot MXU fetch of the packed table + 6-term weighted lane
+        # sums give det / u*det / v*det / t*det for all 5 triangles —
+        # exact MT semantics with no [m, K, 3, 3] HBM geometry.
+        mtc = jnp.asarray(_mt_const_np(axis_world))     # [256, 128] bf16
+        rd_s = jnp.broadcast_to(z0 - eye_s, pa.shape)
+        rd_a = uaf_ - eye_a
+        rd_b = ubf_ - eye_b
+        eps = jnp.float32(_MT_EPS)
+        best_tt = jnp.full(pa.shape, _BIG)
+        best_case = jnp.zeros(pa.shape, jnp.int32)
+        best_tri = jnp.zeros(pa.shape, jnp.int32)
+        best_ca = jnp.zeros(pa.shape, f32)
+        best_cb = jnp.zeros(pa.shape, f32)
+        tri5 = jnp.arange(5, dtype=jnp.int32)
+
+        for cse, da, db in slot_list:
+            cell_a = ca + da
+            cell_b = cb + db
+            ro_s = eye_s - k
+            ro_a = eye_a - cell_a
+            ro_b = eye_b - cell_b
+            w_s = ro_a * rd_b - ro_b * rd_a
+            w_a = ro_b * rd_s - ro_s * rd_b
+            w_b = ro_s * rd_a - ro_a * rd_s
+            oh = (cse[:, None] == case_iota[None, :]).astype(jnp.bfloat16)
+            fk = jnp.einsum("nc,cl->nl", oh, mtc,
+                            preferred_element_type=f32)  # [m, 128]
+            qa = jnp.stack([rd_s, rd_a, rd_b, w_s, w_a, w_b], 1)
+            mt = (fk[:, :90].reshape(-1, 6, 15) * qa[:, :, None]).sum(1)
+            det, ud, vd = mt[:, 0:5], mt[:, 5:10], mt[:, 10:15]
+            qb = jnp.stack([ro_s, ro_a, ro_b, jnp.ones_like(ro_s)], 1)
+            td = (fk[:, 90:110].reshape(-1, 4, 5) * qb[:, :, None]).sum(1)
+            sgn = jnp.sign(det)
+            ok = jnp.abs(det) > eps
+            tt = td / jnp.where(ok, det, 1.0)
+            hit5 = (ok & (ud * sgn >= 0) & (vd * sgn >= 0)
+                    & ((ud + vd - det) * sgn <= 0) & (tt > eps))
+            ttm = jnp.where(hit5, tt, _BIG)
+            t_slot = ttm.min(axis=1)
+            tri_slot = jnp.argmin(ttm, axis=1).astype(jnp.int32)
+            better = t_slot < best_tt
+            best_tt = jnp.where(better, t_slot, best_tt)
+            best_case = jnp.where(better, cse, best_case)
+            best_tri = jnp.where(better, tri_slot, best_tri)
+            best_ca = jnp.where(better, cell_a, best_ca)
+            best_cb = jnp.where(better, cell_b, best_cb)
+
+        anyhit = best_tt < _BIG
+        # winner normal: one more one-hot fetch, lanes 110..124 selected
+        # by the winning triangle
+        ohw = (best_case[:, None] == case_iota[None, :]).astype(jnp.bfloat16)
+        fkn = jnp.einsum("nc,cl->nl", ohw, mtc, preferred_element_type=f32)
+        wsel = (best_tri[:, None] == tri5[None, :]).astype(f32)
+        nr = (fkn[:, 110:125].reshape(-1, 5, 3) * wsel[:, :, None]).sum(1)
+        return (anyhit, best_tt, nr, best_case, best_tri, best_ca, best_cb)
 
     def consume_round(st, c_bits, geo):
         """Test each row's next untested crossing slab; advance or
@@ -550,10 +639,11 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
         rd_len_ = geo[6]
         ptr, resolved = st["ptr"], st["resolved"]
         has, o_i = _first_set_from(c_bits, ptr)
-        anyhit, t_min, nr, wcase, wtri_i, fi_cell = slab_pass(
-            o_i.astype(f32), geo)
-
         act = ~resolved & has
+        o_f = o_i.astype(f32)
+        anyhit, t_min, nr, wcase, wtri_i, wca, wcb = slab_pass(
+            o_f, act, geo)
+        fi_cell = ((o_f * a_size + wca) * b_size + wcb).astype(jnp.int32)
         newly = act & anyhit
         miss = act & ~anyhit
         exh = ~resolved & ~has
@@ -576,14 +666,20 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
             case=jnp.zeros(m, jnp.int32), tri=jnp.zeros(m, jnp.int32),
         )
 
-    # ---- compaction LADDER ----
+    # ---- compaction LADDER (gather-only) ----
     # Round cost is linear in the row count while the surviving-texel
     # count decays ~2x per round (hist), so work always runs at the
-    # narrowest width that fits the survivors: rows with NO crossing at
-    # all resolve before any round (the bit field says so for free), and
-    # a stage only exits to the next when its survivors FIT the next
-    # width (or the round budget runs out — residue surfaces in the
-    # `overflow` stat), so rows are never silently dropped.
+    # narrowest width that fits the survivors. TPU result SCATTERS and
+    # repeated full-width nonzero/vector-gathers are the pathological
+    # ops here (profiled at ~2/3 of the round-2 frame, ~9 ns/elem), so
+    # this ladder (a) compacts each stage FROM the previous stage's
+    # already-narrow rows, (b) packs the per-row carry into one i32
+    # matrix so compaction is a row-major gather (~30x the per-element
+    # rate of vector gathers on v5e), and (c) folds results back up with
+    # cumsum-rank GATHER merges — the only scatter anywhere is one iota
+    # scatter per stage to build the compaction index list. Survivors
+    # that exceed a stage width stay behind unresolved (preserved by the
+    # reverse merge) and surface in the `overflow` stat.
     geoA = (uaf, ubf, half_a, half_b, ro_sab, rd_sab, rd_len)
     no_cand = ~(cand_bits != 0).any(axis=1)
     g = init_state(N, jnp.zeros(N, jnp.int32), no_cand)
@@ -592,7 +688,7 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
     overflow = jnp.zeros((), jnp.int32)
 
     widths, w = [], N
-    for sh_ in (1, 2, 3, 4, 6):
+    for sh_ in (1, 2, 3, 4, 5, 6):
         w2 = max(128, N >> sh_)
         if w2 < w:
             widths.append(w2)
@@ -616,6 +712,28 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
 
         return jax.lax.while_loop(cond, body, st_l)
 
+    i32 = jnp.int32
+    as_i32 = lambda x: jax.lax.bitcast_convert_type(x, i32)
+    as_f32 = lambda x: jax.lax.bitcast_convert_type(x, f32)
+
+    def geo_of(uaf_, ubf_):
+        """Rebuild the geo tuple from (uaf, ubf) — bit-identical to the
+        full-width forms (same expressions), so compaction only needs to
+        carry the two texel coordinates."""
+        m = uaf_.shape[0]
+        p_vox = (z0 * sel_s[None, :] + uaf_[:, None] * sel_a[None, :]
+                 + ubf_[:, None] * sel_b[None, :])
+        rdw = grid_origin[None, :] + p_vox * voxel_size - cam_pos[None, :]
+        return (uaf_, ubf_,
+                0.5 * jnp.abs((uaf_ - eye_a) / (z0 - eye_s)),
+                0.5 * jnp.abs((ubf_ - eye_b) / (z0 - eye_s)),
+                jnp.stack([jnp.broadcast_to(eye_s, (m,)),
+                           jnp.broadcast_to(eye_a, (m,)),
+                           jnp.broadcast_to(eye_b, (m,))], 1),
+                jnp.stack([jnp.broadcast_to(z0 - eye_s, (m,)),
+                           uaf_ - eye_a, ubf_ - eye_b], 1),
+                jnp.linalg.norm(rdw, axis=-1))
+
     # stage 0 runs at full width inside the same machinery (covers the
     # "survivors still exceed widths[0]" overflow rounds)
     st0 = run_stage((rounds_t, hist), N, targets[0] if widths else tol_texels,
@@ -630,42 +748,64 @@ def _trace_texels(case_sw, shadow_sw, tri_table, scal,
                 st0["hit"][:, None] if upd.ndim == 2 else st0["hit"],
                 upd, g[k])
 
+    prev = dict(resolved=g["resolved"], ptr=g["ptr"], uaf=uaf, ubf=ubf,
+                bits=cand_bits, width=N)
+    entries = []
     for si, M in enumerate(widths):
-        next_target = targets[si + 1]
-        unres = ~g["resolved"]
+        unres = ~prev["resolved"]
         n_unres = jnp.sum(unres)
         overflow = overflow + jnp.maximum(n_unres - M, 0)
-        idxs = jnp.nonzero(unres, size=M, fill_value=N)[0]
+        rank = jnp.cumsum(unres.astype(i32)) - 1        # [W_prev]
+        sc = jnp.where(unres & (rank < M), rank, M)
+        packed = jnp.concatenate(
+            [as_i32(prev["uaf"])[:, None], as_i32(prev["ubf"])[:, None],
+             prev["ptr"][:, None], prev["bits"]], axis=1)
+        idxs = jnp.zeros(M, i32).at[sc].set(
+            jnp.arange(prev["width"], dtype=i32), mode="drop")
+        rows = packed[idxs]                             # row-major gather
+        uaf_s, ubf_s = as_f32(rows[:, 0]), as_f32(rows[:, 1])
+        ptr_s, bits_s = rows[:, 2], rows[:, 3:]
         row_valid = jnp.arange(M) < jnp.minimum(n_unres, M)
-        idxs_c = jnp.minimum(idxs, N - 1)
-        uaf_s, ubf_s = uaf[idxs_c], ubf[idxs_c]
-        geo_s = (
-            uaf_s, ubf_s,
-            0.5 * jnp.abs((uaf_s - eye_a) / (z0 - eye_s)),
-            0.5 * jnp.abs((ubf_s - eye_b) / (z0 - eye_s)),
-            jnp.stack([jnp.broadcast_to(eye_s, (M,)),
-                       jnp.broadcast_to(eye_a, (M,)),
-                       jnp.broadcast_to(eye_b, (M,))], 1),
-            jnp.stack([jnp.broadcast_to(z0 - eye_s, (M,)),
-                       uaf_s - eye_a, ubf_s - eye_b], 1),
-            rd_len[idxs_c],
-        )
-        st_l = run_stage((rounds_t, hist), M, next_target, geo_s,
-                         cand_bits[idxs_c], g["ptr"][idxs_c], ~row_valid)
+        st_l = run_stage((rounds_t, hist), M, targets[si + 1],
+                         geo_of(uaf_s, ubf_s), bits_s, ptr_s, ~row_valid)
         rounds_t, hist = st_l["rounds_t"], st_l["hist"]
+        entries.append(dict(unres=unres, rank=rank, M=M, st=st_l))
+        prev = dict(resolved=st_l["resolved"], ptr=st_l["ptr"],
+                    uaf=uaf_s, ubf=ubf_s, bits=bits_s, width=M)
 
-        def put(dst, src, mask):
-            tgt = jnp.where(row_valid & mask, idxs, N)
-            return dst.at[tgt].set(src, mode="drop")
+    def merge_back(dst, unres_in, rank_in, src, m_src):
+        """Fold src (width m_src) into the wider dst it was compacted
+        from: row r of dst with unres & rank < m_src took row rank[r] of
+        src. Pure rank gathers — no scatter."""
+        take = unres_in & (rank_in < m_src)
+        packed = jnp.concatenate(
+            [src["hit"].astype(i32)[:, None], as_i32(src["t"])[:, None],
+             src["fi"][:, None], src["case"][:, None],
+             src["tri"][:, None], src["ptr"][:, None],
+             src["resolved"].astype(i32)[:, None],
+             as_i32(src["nrm_sab"])], axis=1)           # [m_src, 10]
+        rows = packed[jnp.clip(jnp.where(take, rank_in, 0), 0, m_src - 1)]
+        s_hit = take & (rows[:, 0] != 0)
+        out = dict(dst)
+        out["hit"] = dst["hit"] | s_hit
+        out["t"] = jnp.where(s_hit, as_f32(rows[:, 1]), dst["t"])
+        out["fi"] = jnp.where(s_hit, rows[:, 2], dst["fi"])
+        out["case"] = jnp.where(s_hit, rows[:, 3], dst["case"])
+        out["tri"] = jnp.where(s_hit, rows[:, 4], dst["tri"])
+        out["ptr"] = jnp.where(take, rows[:, 5], dst["ptr"])
+        out["resolved"] = jnp.where(take, rows[:, 6] != 0, dst["resolved"])
+        out["nrm_sab"] = jnp.where(s_hit[:, None], as_f32(rows[:, 7:10]),
+                                   dst["nrm_sab"])
+        return out
 
-        for k in ("hit", "t", "fi", "case", "tri"):
-            g[k] = put(g[k], st_l[k], st_l["hit"])
-        g["nrm_sab"] = g["nrm_sab"].at[
-            jnp.where(row_valid & st_l["hit"], idxs, N)].set(
-            st_l["nrm_sab"], mode="drop")
-        g["ptr"] = put(g["ptr"], st_l["ptr"], jnp.ones(M, bool))
-        g["resolved"] = put(g["resolved"], st_l["resolved"],
-                            jnp.ones(M, bool))
+    if entries:
+        merged = entries[-1]["st"]
+        for i in range(len(entries) - 2, -1, -1):
+            merged = merge_back(entries[i]["st"], entries[i + 1]["unres"],
+                                entries[i + 1]["rank"], merged,
+                                entries[i + 1]["M"])
+        g = merge_back(g, entries[0]["unres"], entries[0]["rank"], merged,
+                       entries[0]["M"])
 
     hit, t, nrm_sab = g["hit"], g["t"], g["nrm_sab"]
 
@@ -736,7 +876,15 @@ def _scene_sweep_setup(scene: MCMeshScene, camera_pos, view,
     smax = max(abs(a_min - eye_a), abs(a_max - eye_a),
                abs(b_min - eye_b), abs(b_max - eye_b)) / max(denom, 1e-12)
     kcells = 4 if smax <= 1.0 else 9
-    return (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kcells)
+    # host-side kernel gate: TPU backend + tables fit VMEM
+    from ray_tracing_octrees_tpu.trace.mesh_round_kernel import kernel_fits
+
+    sp = case_sw.shape[0]
+    th = (A + 2) + ((-(A + 2)) % 8)
+    cw = sp * (B + 2) + ((-(sp * (B + 2))) % 128)
+    use_kernel = jax.default_backend() == "tpu" and kernel_fits(th, cw)
+    return (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np,
+            kcells, use_kernel)
 
 
 def trace_mc_mesh_texels(
@@ -749,20 +897,24 @@ def trace_mc_mesh_texels(
     inter_w: int = 1024,
     max_rounds: int = 16,
     tol_texels: int = 0,
+    use_kernel=None,
 ) -> dict:
     """Texel-space trace (the raw wavefront): one ray per table texel.
 
     The per-texel rays (``ray_o``, ``ray_d``) are returned so tests can
     feed the IDENTICAL ray set to the exact LBVH tracer and compare 1:1.
     """
-    (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kcells) = \
+    (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kcells,
+     auto_kernel) = \
         _scene_sweep_setup(scene, camera_pos, view, fov_deg, aspect,
                            inter_h, inter_w)
+    if use_kernel is None:
+        use_kernel = auto_kernel
     return _trace_texels(
-        case_sw, shadow_sw, case_triangle_table(), jnp.asarray(scal_np),
+        case_sw, shadow_sw, jnp.asarray(scal_np),
         case_sw.shape[0] // 32, S, A, B, inter_h, inter_w, bool(flip),
         axis_world, max_rounds, tol_texels, shadow_sw is not None,
-        kcells=kcells,
+        kcells=kcells, use_kernel=bool(use_kernel),
     )
 
 
@@ -771,20 +923,20 @@ def trace_mc_mesh_texels(
     static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
                      "inter_w", "flip", "axis_world", "width", "height",
                      "max_rounds", "tol_texels", "has_shadow", "warp_cfg",
-                     "kcells"),
+                     "kcells", "use_kernel"),
 )
-def _mesh_frame_fused(case_sw, shadow_sw, tri_table, scal,
+def _mesh_frame_fused(case_sw, shadow_sw, scal,
                       n_chunks: int, s_valid: int, a_size: int, b_size: int,
                       inter_h: int, inter_w: int, flip: bool,
                       axis_world: int, width: int, height: int,
                       max_rounds: int, tol_texels: int, has_shadow: bool,
-                      warp_cfg, kcells: int):
+                      warp_cfg, kcells: int, use_kernel: bool = False):
     """Whole triangle-traced frame in one program: rounds, shade, warp."""
     f32 = jnp.float32
     res = _trace_texels(
-        case_sw, shadow_sw, tri_table, scal, n_chunks, s_valid, a_size,
+        case_sw, shadow_sw, scal, n_chunks, s_valid, a_size,
         b_size, inter_h, inter_w, flip, axis_world, max_rounds, tol_texels,
-        has_shadow, kcells=kcells,
+        has_shadow, kcells=kcells, use_kernel=use_kernel,
     )
     # Texel-space Lambert shade (shade(), RayTracerBVH.cpp:331-336; the
     # directional light makes shading view-independent, so per-texel
@@ -869,7 +1021,8 @@ def render_mc_mesh_frame(
     texels remain unresolved (they shade as miss); 512 of 1M texels
     bounds the error at < 0.05 % of rays while capping tail rounds.
     """
-    (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kcells) = \
+    (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kcells,
+     use_kernel) = \
         _scene_sweep_setup(scene, camera_pos, view, fov_deg, aspect,
                            inter_h, inter_w)
     scal_np = scal_np.copy()
@@ -879,10 +1032,10 @@ def render_mc_mesh_frame(
     warp_cfg = _plan_warp_cfg(scal_np, axis_world, inter_h, inter_w,
                               width, height)
     img, rounds, unresolved = _mesh_frame_fused(
-        case_sw, shadow_sw, case_triangle_table(), jnp.asarray(scal_np),
+        case_sw, shadow_sw, jnp.asarray(scal_np),
         case_sw.shape[0] // 32, S, A, B, inter_h, inter_w, bool(flip),
         axis_world, width, height, max_rounds, tol_texels,
-        shadow_sw is not None, warp_cfg, kcells,
+        shadow_sw is not None, warp_cfg, kcells, use_kernel,
     )
     if with_stats:
         return img, dict(rounds=rounds, unresolved=unresolved)

@@ -68,7 +68,7 @@ jax.block_until_ready(h2)
 print(f"build_hats: {(time.perf_counter()-t0)/N*1e3:.1f} ms", flush=True)
 
 r1 = jax.jit(lambda: mg._trace_texels(
-    case_sw, shadow_sw, mg.case_triangle_table(), scal, sp // 32, S, A, B,
+    case_sw, shadow_sw, scal, sp // 32, S, A, B,
     1024, 1024, bool(flip), axis_world, 1, 0, shadow_sw is not None,
     kcells=kcells))
 out = jax.block_until_ready(r1())
