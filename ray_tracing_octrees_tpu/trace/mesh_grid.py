@@ -436,13 +436,13 @@ def _mt_const_np(axis_world: int) -> np.ndarray:
     jax.jit,
     static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
                      "inter_w", "flip", "axis_world", "max_rounds",
-                     "tol_texels", "has_shadow", "kcells", "use_kernel"),
+                     "tol_texels", "has_shadow", "kcells"),
 )
 def _trace_texels(case_sw, shadow_sw, scal,
                   n_chunks: int, s_valid: int, a_size: int, b_size: int,
                   inter_h: int, inter_w: int, flip: bool, axis_world: int,
                   max_rounds: int, tol_texels: int, has_shadow: bool,
-                  kcells: int = 9, use_kernel: bool = False):
+                  kcells: int = 9):
     """Full texel-space trace: rounds of (slot sweep + chained MT passes).
 
     Each round: one sweep collects up to _SLOTS candidate slabs per texel;
@@ -500,19 +500,8 @@ def _trace_texels(case_sw, shadow_sw, scal,
     hats = _build_detect_hats(scal, case_sw.shape[0], s_valid, a_size,
                               b_size, IH, IW, flip)
     detect_sw = _detect_volume(case_sw)
-    if use_kernel:
-        from ray_tracing_octrees_tpu.trace.mesh_round_kernel import (
-            build_case_table, mt_tables, slab_pass_kernel,
-        )
-
-        th = (a_size + 2) + ((-(a_size + 2)) % 8)
-        ct = build_case_table(case_sw, th)
-        f_a, f_b = mt_tables(axis_world)
-        scal_k = jnp.stack([eye_s, eye_a, eye_b, z0,
-                            jnp.float32(_MT_EPS)])
-    else:
-        pk = _build_packed_cases(case_sw)
-        npk = pk.shape[0]
+    pk = _build_packed_cases(case_sw)
+    npk = pk.shape[0]
 
     det_sign = -1.0 if axis_world == 1 else 1.0
 
@@ -521,23 +510,16 @@ def _trace_texels(case_sw, shadow_sw, scal,
     )
     case_iota = jnp.arange(256, dtype=jnp.int32)
 
-    def slab_pass(o_j, act, geo):
+    def slab_pass(o_j, geo):
         """Resolve one candidate slab per row: packed case fetch + exact MT.
 
         Returns (anyhit, t_min (|rd| units), normal_sab [m,3], wcase,
-        wtri, wca, wcb). Two implementations: the Pallas kernel
-        (trace/mesh_round_kernel.py — MXU case fetch + dot-constant MT,
-        ~20x the XLA form) when ``use_kernel``, else the XLA reference
-        path below."""
+        wtri, wca, wcb). A Pallas realization of this pass (MXU one-hot
+        case fetch in VMEM) measured 186 ms/Mrow against this form's
+        ~70 ns/row and was removed — the dot-constant MT plus packed
+        gathers is the faster mapping on v5e (git history:
+        trace/mesh_round_kernel.py)."""
         uaf_, ubf_, half_a_, half_b_, ro_sab_, rd_sab_, _ = geo
-        if use_kernel:
-            anyhit, tt, wcase, wtri, wca, wcb, nr = slab_pass_kernel(
-                o_j, act, uaf_, ubf_, ct, f_a, f_b, scal_k,
-                s_valid=s_valid, flip=flip, b2=b_size + 2,
-                a_size=a_size, b_size=b_size,
-                kcells=(4 if kcells <= 4 else 6),
-            )
-            return anyhit, tt, nr, wcase, wtri, wca, wcb
         k = (f32(s_valid) - 1.0 - o_j) if flip else o_j
         s_scale = (z0 - eye_s) / (k + 0.5 - eye_s)
         pa = (uaf_ - eye_a) / s_scale + eye_a
@@ -641,8 +623,7 @@ def _trace_texels(case_sw, shadow_sw, scal,
         has, o_i = _first_set_from(c_bits, ptr)
         act = ~resolved & has
         o_f = o_i.astype(f32)
-        anyhit, t_min, nr, wcase, wtri_i, wca, wcb = slab_pass(
-            o_f, act, geo)
+        anyhit, t_min, nr, wcase, wtri_i, wca, wcb = slab_pass(o_f, geo)
         fi_cell = ((o_f * a_size + wca) * b_size + wcb).astype(jnp.int32)
         newly = act & anyhit
         miss = act & ~anyhit
@@ -876,15 +857,8 @@ def _scene_sweep_setup(scene: MCMeshScene, camera_pos, view,
     smax = max(abs(a_min - eye_a), abs(a_max - eye_a),
                abs(b_min - eye_b), abs(b_max - eye_b)) / max(denom, 1e-12)
     kcells = 4 if smax <= 1.0 else 9
-    # host-side kernel gate: TPU backend + tables fit VMEM
-    from ray_tracing_octrees_tpu.trace.mesh_round_kernel import kernel_fits
-
-    sp = case_sw.shape[0]
-    th = (A + 2) + ((-(A + 2)) % 8)
-    cw = sp * (B + 2) + ((-(sp * (B + 2))) % 128)
-    use_kernel = jax.default_backend() == "tpu" and kernel_fits(th, cw)
     return (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np,
-            kcells, use_kernel)
+            kcells)
 
 
 def trace_mc_mesh_texels(
@@ -897,24 +871,20 @@ def trace_mc_mesh_texels(
     inter_w: int = 1024,
     max_rounds: int = 16,
     tol_texels: int = 0,
-    use_kernel=None,
 ) -> dict:
     """Texel-space trace (the raw wavefront): one ray per table texel.
 
     The per-texel rays (``ray_o``, ``ray_d``) are returned so tests can
     feed the IDENTICAL ray set to the exact LBVH tracer and compare 1:1.
     """
-    (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kcells,
-     auto_kernel) = \
+    (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kcells) = \
         _scene_sweep_setup(scene, camera_pos, view, fov_deg, aspect,
                            inter_h, inter_w)
-    if use_kernel is None:
-        use_kernel = auto_kernel
     return _trace_texels(
         case_sw, shadow_sw, jnp.asarray(scal_np),
         case_sw.shape[0] // 32, S, A, B, inter_h, inter_w, bool(flip),
         axis_world, max_rounds, tol_texels, shadow_sw is not None,
-        kcells=kcells, use_kernel=bool(use_kernel),
+        kcells=kcells,
     )
 
 
@@ -923,20 +893,20 @@ def trace_mc_mesh_texels(
     static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
                      "inter_w", "flip", "axis_world", "width", "height",
                      "max_rounds", "tol_texels", "has_shadow", "warp_cfg",
-                     "kcells", "use_kernel"),
+                     "kcells"),
 )
 def _mesh_frame_fused(case_sw, shadow_sw, scal,
                       n_chunks: int, s_valid: int, a_size: int, b_size: int,
                       inter_h: int, inter_w: int, flip: bool,
                       axis_world: int, width: int, height: int,
                       max_rounds: int, tol_texels: int, has_shadow: bool,
-                      warp_cfg, kcells: int, use_kernel: bool = False):
+                      warp_cfg, kcells: int):
     """Whole triangle-traced frame in one program: rounds, shade, warp."""
     f32 = jnp.float32
     res = _trace_texels(
         case_sw, shadow_sw, scal, n_chunks, s_valid, a_size,
         b_size, inter_h, inter_w, flip, axis_world, max_rounds, tol_texels,
-        has_shadow, kcells=kcells, use_kernel=use_kernel,
+        has_shadow, kcells=kcells,
     )
     # Texel-space Lambert shade (shade(), RayTracerBVH.cpp:331-336; the
     # directional light makes shading view-independent, so per-texel
@@ -1021,8 +991,7 @@ def render_mc_mesh_frame(
     texels remain unresolved (they shade as miss); 512 of 1M texels
     bounds the error at < 0.05 % of rays while capping tail rounds.
     """
-    (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kcells,
-     use_kernel) = \
+    (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kcells) = \
         _scene_sweep_setup(scene, camera_pos, view, fov_deg, aspect,
                            inter_h, inter_w)
     scal_np = scal_np.copy()
@@ -1035,7 +1004,7 @@ def render_mc_mesh_frame(
         case_sw, shadow_sw, jnp.asarray(scal_np),
         case_sw.shape[0] // 32, S, A, B, inter_h, inter_w, bool(flip),
         axis_world, width, height, max_rounds, tol_texels,
-        shadow_sw is not None, warp_cfg, kcells, use_kernel,
+        shadow_sw is not None, warp_cfg, kcells,
     )
     if with_stats:
         return img, dict(rounds=rounds, unresolved=unresolved)
