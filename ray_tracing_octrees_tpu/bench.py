@@ -158,23 +158,35 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
     try:
         if skip_exact or time.time() - T_START > time_budget_s:
             raise RuntimeError("skipped")
-        from ray_tracing_octrees_tpu.core.octree import build_pyramid
+        from ray_tracing_octrees_tpu.core.octree import (
+            build_leaf_volume,
+            build_pyramid,
+        )
         from ray_tracing_octrees_tpu.models.octree_raytracer import render_octree_image
 
         pyr = build_pyramid(grid.occ)
-        sw, sh_ = 240, 136
+        # One-gather leaf-volume traversal + Chebyshev empty-ball skipping
+        # (bit-parity with trace_octree asserted by tests/test_octree_trace).
+        lv = jax.block_until_ready(build_leaf_volume(pyr))
+        sw, sh_ = 480, 270
         f = lambda: render_octree_image(
             pyr, grid.origin, grid.voxel_size,
             jnp.asarray(cam.get_pos(), jnp.float32),
             jnp.asarray(cam.get_view(), jnp.float32),
             sw, sh_, jnp.float32(45.0), jnp.float32(aspect), shadows=True,
+            leaf_vol=lv, ball_skip=True,
         )
         out = f()
         jax.block_until_ready(out)
+        ex_iters = 3
         t0 = time.perf_counter()
-        out = f()
+        for _ in range(ex_iters):
+            cam.phi += 1e-4
+            out = f()
         jax.block_until_ready(out)
-        exact_mrays = round(sw * sh_ * 2 / (time.perf_counter() - t0) / 1e6, 3)
+        cam.phi -= 1e-4 * ex_iters
+        exact_mrays = round(
+            sw * sh_ * 2 * ex_iters / (time.perf_counter() - t0) / 1e6, 3)
     except Exception:
         pass
 

@@ -47,7 +47,8 @@ def lambert_shade(normal, hit, light_dir, base_color, ambient):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_steps", "shadows")
+    jax.jit,
+    static_argnames=("width", "height", "max_steps", "shadows", "ball_skip"),
 )
 def render_octree_image(
     pyramid: OccupancyPyramid,
@@ -64,6 +65,8 @@ def render_octree_image(
     ambient=(0.1, 0.1, 0.1),
     max_steps: int = 512,
     shadows: bool = False,
+    leaf_vol=None,
+    ball_skip: bool = False,
 ):
     """Full frame: ray gen -> stackless octree trace -> Lambert shade.
 
@@ -71,12 +74,31 @@ def render_octree_image(
     With ``shadows=True`` a second (shadow) ray is traced from each hit
     toward the light — the "primary + shadow rays" configuration of the
     benchmark ladder (BASELINE.json configs[3]).
+
+    ``leaf_vol`` (core/octree.py::build_leaf_volume): when given, traces
+    via trace_octree_fast — ONE leaf-descriptor gather per DDA step instead
+    of the per-level pyramid descent; bit-identical outputs (and, with
+    ``ball_skip``, Chebyshev empty-ball skipping on top).
     """
     origins, dirs = generate_rays(width, height, cam_pos, view, fov_deg, aspect)
-    res = trace_octree(
-        pyramid, origins, dirs, jnp.asarray(grid_origin, jnp.float32),
-        jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
-    )
+
+    def trace(o, d):
+        if leaf_vol is not None:
+            from ray_tracing_octrees_tpu.trace.octree_trace import (
+                trace_octree_fast,
+            )
+
+            return trace_octree_fast(
+                leaf_vol, o, d, jnp.asarray(grid_origin, jnp.float32),
+                jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
+                ball_skip=ball_skip,
+            )
+        return trace_octree(
+            pyramid, o, d, jnp.asarray(grid_origin, jnp.float32),
+            jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
+        )
+
+    res = trace(origins, dirs)
     color = lambert_shade(res["normal"], res["hit"], light_dir, base_color, ambient)
     if shadows:
         l = jnp.asarray(light_dir, jnp.float32)
@@ -84,10 +106,7 @@ def render_octree_image(
         # offset along the normal to escape the surface cell
         shadow_o = res["point"] + res["normal"] * (voxel_size * 2.0)
         shadow_d = jnp.broadcast_to(-l[None, :], shadow_o.shape)
-        sres = trace_octree(
-            pyramid, shadow_o, shadow_d, jnp.asarray(grid_origin, jnp.float32),
-            jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
-        )
+        sres = trace(shadow_o, shadow_d)
         occluded = sres["hit"] & res["hit"]
         amb = jnp.asarray(ambient, jnp.float32)
         color = jnp.where(occluded[:, None], jnp.broadcast_to(amb, color.shape), color)
@@ -117,6 +136,7 @@ class OctreeRayTracer:
     visible_count: Optional[int] = None
     _fast_vol: Optional[jax.Array] = None
     _fast_shadow: Optional[jax.Array] = None
+    _leaf_vol: Optional[jax.Array] = None
 
     def set_octree(self, grid: VoxelGrid, pyramid: Optional[OccupancyPyramid] = None,
                    tree: Optional[LinearOctree] = None):
@@ -135,6 +155,16 @@ class OctreeRayTracer:
         self.visible_count = None
         self._fast_vol = None
         self._fast_shadow = None
+        self._leaf_vol = None
+
+    def _ensure_leaf_vol(self):
+        """Packed per-voxel leaf descriptors for the one-gather exact
+        tracer (S^3 bytes; built once per scene bind)."""
+        if self._leaf_vol is None:
+            from ray_tracing_octrees_tpu.core.octree import build_leaf_volume
+
+            self._leaf_vol = build_leaf_volume(self.pyramid)
+        return self._leaf_vol
 
     def _ensure_fast(self):
         if self._fast_vol is None:
@@ -205,6 +235,9 @@ class OctreeRayTracer:
                 ambient=rt.ambient,
             )
         pyr = self.culled_pyramid if (use_culling and self.culled_pyramid) else self.pyramid
+        # Leaf-volume one-gather traversal for the scene pyramid; the culled
+        # pyramid differs per pose, so culling keeps the per-level descent.
+        lv = self._ensure_leaf_vol() if pyr is self.pyramid else None
         return render_octree_image(
             pyr,
             self.grid_origin,
@@ -220,6 +253,7 @@ class OctreeRayTracer:
             ambient=rt.ambient,
             max_steps=rt.max_traversal_steps,
             shadows=shadows,
+            leaf_vol=lv,
         )
 
 

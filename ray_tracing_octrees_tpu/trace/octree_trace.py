@@ -38,6 +38,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ray_tracing_octrees_tpu.core.octree import LinearOctree, OccupancyPyramid
 from ray_tracing_octrees_tpu.render.frustum import frustum_planes, test_aabb
@@ -179,6 +180,121 @@ def trace_octree(
 
     # Hit point and sphere-ish leaf normal in world space
     # (RayTracerBVH.cpp:283-287: normalize(p - nodeCenter)).
+    point = origins + directions * t_hit[:, None]
+    center_vox = cmin + 0.5 * csize[:, None]
+    center_world = grid_origin[None, :] + center_vox * voxel_size
+    nrm = point - center_world
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-30)
+    nrm = jnp.where(hit[:, None], nrm, 0.0)
+    return dict(hit=hit, t=t_hit, point=point, normal=nrm, steps=steps)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps", "ball_skip"))
+def trace_octree_fast(
+    leaf_vol: jax.Array,    # u8[S, S, S] from core.octree.build_leaf_volume
+    origins: jax.Array,     # f32[N, 3] world
+    directions: jax.Array,  # f32[N, 3] world (normalized)
+    grid_origin: jax.Array,  # f32[3]
+    voxel_size: jax.Array,   # f32[]
+    max_steps: int = 512,
+    ball_skip: bool = False,
+) -> dict:
+    """:func:`trace_octree` with the pyramid descent folded into ONE gather.
+
+    ``find_leaf``'s root-to-voxel walk (``num_levels`` gathers per ray per
+    step — the measured 0.22 Mrays/s bottleneck) is precomputed per voxel
+    into ``leaf_vol`` (core/octree.py::build_leaf_volume), so each DDA step
+    performs a single u8 gather. With ``ball_skip=False`` the advance rule,
+    the sampled point sequence, and therefore every output are IDENTICAL to
+    :func:`trace_octree` by construction (same floats, same ops), asserted
+    by tests/test_octree_trace.py.
+
+    ``ball_skip=True`` additionally advances empty rays past the packed
+    Chebyshev empty ball [v - r, v + r + 1) when it reaches farther than the
+    leaf box — a strictly solid-free region, so hits cannot be skipped, but
+    the sample sequence (and thus rare nudge-epsilon corner cases) may
+    differ from the reference stepping; kept opt-in for that reason.
+
+    Reference anchor: intersectOctreeIterative (RayTracerBVH.cpp:239-327)
+    runs one node fetch per visit on a GL compute unit; this is the
+    TPU-native equivalent of that per-visit cost.
+    """
+    S = leaf_vol.shape[0]
+    top = int(np.log2(S))
+    root_size = jnp.float32(S)
+
+    o = (origins - grid_origin[None, :]) / voxel_size
+    d = directions / voxel_size
+    inv_d = _safe_inv(d)
+    deg = _degenerate_axes(d)
+
+    t_root_near, t_root_far = _slab(o, inv_d, deg, jnp.float32(0.0), root_size)
+    alive0 = (t_root_near <= t_root_far) & (t_root_far > 0)
+    t0 = jnp.maximum(t_root_near, 0.0)
+
+    n = origins.shape[0]
+    f32 = jnp.float32
+    eps_t = f32(1e-3) * voxel_size
+
+    def nudge(t):
+        return t + jnp.maximum(eps_t, jnp.abs(t) * f32(2e-6))
+
+    def find_leaf(p):
+        v = jnp.floor(p).astype(jnp.int32)
+        inb = (
+            (v[:, 0] >= 0) & (v[:, 1] >= 0) & (v[:, 2] >= 0)
+            & (v[:, 0] < S) & (v[:, 1] < S) & (v[:, 2] < S)
+        )
+        vc = jnp.clip(v, 0, S - 1)
+        lv = leaf_vol[vc[:, 2], vc[:, 1], vc[:, 0]].astype(jnp.int32)
+        # Out-of-cube voxels resolve at the root level, uniform-empty —
+        # exactly find_leaf's topmost-level cell_code fallback.
+        level = jnp.where(inb, (lv >> 1) & 0xF, top)
+        solid = inb & ((lv & 1) > 0)
+        size = (jnp.int32(1) << level).astype(f32)
+        cell_min = ((v >> level[:, None]) << level[:, None]).astype(f32)
+        radius = jnp.where(inb, lv >> 5, 0)
+        return solid, cell_min, size, v, radius
+
+    def body(state):
+        t, alive, hit, t_hit, cmin_out, csize_out, steps = state
+        p = o + d * nudge(t)[:, None]
+        solid, cmin, csize, v, radius = find_leaf(p)
+        t_near, t_far = _slab(o, inv_d, deg, cmin, cmin + csize[:, None])
+
+        new_hit = alive & solid
+        hit = hit | new_hit
+        t_hit = jnp.where(new_hit, jnp.maximum(t_near, 0.0), t_hit)
+        cmin_out = jnp.where(new_hit[:, None], cmin, cmin_out)
+        csize_out = jnp.where(new_hit, csize, csize_out)
+
+        if ball_skip:
+            bmin = (v - radius[:, None]).astype(f32)
+            bmax = (v + radius[:, None]).astype(f32) + 1.0
+            _, t_far_ball = _slab(o, inv_d, deg, bmin, bmax)
+            t_far = jnp.maximum(t_far, t_far_ball)
+
+        t = jnp.where(alive & ~solid, jnp.maximum(t_far, nudge(t)), t)
+        alive = alive & ~solid & (t < t_root_far)
+        steps = steps + alive.astype(jnp.int32)
+        return t, alive, hit, t_hit, cmin_out, csize_out, steps
+
+    def cond(state):
+        _, alive, _, _, _, _, steps = state
+        return jnp.any(alive) & (steps.max() < max_steps)
+
+    state = (
+        t0,
+        alive0,
+        jnp.zeros(n, jnp.bool_),
+        jnp.zeros(n, f32),
+        jnp.zeros((n, 3), f32),
+        jnp.zeros(n, f32),
+        jnp.zeros(n, jnp.int32),
+    )
+    t, alive, hit, t_hit, cmin, csize, steps = jax.lax.while_loop(
+        cond, body, state)
+
     point = origins + directions * t_hit[:, None]
     center_vox = cmin + 0.5 * csize[:, None]
     center_world = grid_origin[None, :] + center_vox * voxel_size

@@ -182,3 +182,122 @@ def test_compact_visible_nodes_remap(rng):
             oc = ch_old[oi, c]
             expect = -1 if oc < 0 or not vis[oc] else new_of_old[oc]
             assert ch_new[ni, c] == expect
+
+
+# ---------------------------------------------------------------------------
+# trace_octree_fast: the one-gather leaf-volume tracer
+# ---------------------------------------------------------------------------
+
+
+def _leaf_volume_oracle(pyr):
+    """Per-voxel (level, solid) by the literal find_leaf walk (cell_code
+    per level, topmost uniform wins)."""
+    import numpy as _np
+
+    S = pyr.root_size
+    level = _np.zeros((S, S, S), _np.int32)
+    solid = _np.zeros((S, S, S), bool)
+    found = _np.zeros((S, S, S), bool)
+    zz, yy, xx = _np.meshgrid(
+        _np.arange(S), _np.arange(S), _np.arange(S), indexing="ij")
+    for k in range(pyr.num_levels - 1, -1, -1):
+        code = _np.asarray(pyr.code_levels[k])
+        cz, cy, cx = zz >> k, yy >> k, xx >> k
+        inb = (cz < code.shape[0]) & (cy < code.shape[1]) & (cx < code.shape[2])
+        c = _np.where(
+            inb,
+            code[_np.minimum(cz, code.shape[0] - 1),
+                 _np.minimum(cy, code.shape[1] - 1),
+                 _np.minimum(cx, code.shape[2] - 1)],
+            0,
+        )
+        uni = c != 1
+        take = uni & ~found
+        level[take] = k
+        solid[take] = (c == 2)[take]
+        found |= uni
+    return level, solid
+
+
+@pytest.mark.parametrize("dims", [(8, 8, 8), (6, 9, 5)])
+def test_leaf_volume_matches_cell_code_walk(rng, dims):
+    from ray_tracing_octrees_tpu.core.octree import build_leaf_volume
+
+    occ = (rng.random(dims) < 0.2).astype(np.uint8)
+    pyr = build_pyramid(jnp.asarray(occ))
+    lv = np.asarray(build_leaf_volume(pyr))
+    level_o, solid_o = _leaf_volume_oracle(pyr)
+    np.testing.assert_array_equal((lv >> 1) & 0xF, level_o)
+    np.testing.assert_array_equal(lv & 1, solid_o.astype(np.uint8))
+
+    # skip radius: the ball [v - r, v + r + 1) is solid-free; r is maximal
+    # (up to the cap) — checked against a brute-force Chebyshev distance
+    occ_pad = np.zeros((pyr.root_size,) * 3, bool)
+    occ_pad[: dims[0], : dims[1], : dims[2]] = occ > 0
+    r = (lv >> 5).astype(np.int32)
+    S = pyr.root_size
+    for v in np.argwhere(~occ_pad)[:: max(1, (~occ_pad).sum() // 64)]:
+        rr = int(r[tuple(v)])
+        lo = np.maximum(v - rr, 0)
+        hi = np.minimum(v + rr + 1, S)
+        assert not occ_pad[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].any()
+        if rr < 7:   # maximality: radius rr+1 must contain a solid voxel
+            lo = np.maximum(v - rr - 1, 0)
+            hi = np.minimum(v + rr + 2, S)
+            box = occ_pad[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+            assert box.any() or (
+                # unless the larger box ran off the cube (cube edge holds
+                # no solid by construction)
+                (v - rr - 1 < 0).any() or (v + rr + 2 > S).any()
+            )
+
+
+@pytest.mark.parametrize("dims", [(8, 8, 8), (6, 9, 5), (16, 16, 16)])
+def test_trace_fast_bit_matches_exact(rng, dims):
+    """trace_octree_fast(ball_skip=False) == trace_octree, bitwise."""
+    from ray_tracing_octrees_tpu.core.octree import build_leaf_volume
+    from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree_fast
+
+    occ = (rng.random(dims) < 0.12).astype(np.uint8)
+    grid = VoxelGrid(
+        occ=jnp.asarray(occ),
+        origin=jnp.asarray((-1.0, -0.5, -0.25), jnp.float32),
+        voxel_size=jnp.float32(0.21),
+    )
+    pyr = build_pyramid(grid.occ)
+    lv = build_leaf_volume(pyr)
+
+    n = 256
+    o = np.asarray(grid.origin)[None, :] + rng.random((n, 3)) * np.array(
+        [dims[2], dims[1], dims[0]]) * 0.21 * 1.4 - 0.3
+    d = random_dirs(rng, n)
+    ref = run_trace(grid, o, d)
+    res = trace_octree_fast(
+        lv, jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        grid.origin, grid.voxel_size)
+    res = {k: np.asarray(v) for k, v in res.items()}
+    np.testing.assert_array_equal(res["hit"], ref["hit"])
+    np.testing.assert_array_equal(res["t"], ref["t"])
+    np.testing.assert_array_equal(res["normal"], ref["normal"])
+    np.testing.assert_array_equal(res["steps"], ref["steps"])
+
+
+def test_trace_fast_ball_skip_matches_on_sphere(rng):
+    """ball_skip=True: same hits/t on camera rays (fewer steps)."""
+    from ray_tracing_octrees_tpu.core.octree import build_leaf_volume
+    from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree_fast
+
+    grid = make_sphere_grid(32)
+    pyr = build_pyramid(grid.occ)
+    lv = build_leaf_volume(pyr)
+    cam = Camera(theta=0.4, phi=0.8, radius=2.2)
+    o, d = generate_rays(
+        48, 48, jnp.asarray(cam.get_pos(), jnp.float32),
+        jnp.asarray(cam.get_view(), jnp.float32), 45.0, 1.0)
+    ref = run_trace(grid, np.asarray(o), np.asarray(d))
+    res = trace_octree_fast(lv, o, d, grid.origin, grid.voxel_size,
+                            ball_skip=True)
+    res = {k: np.asarray(v) for k, v in res.items()}
+    np.testing.assert_array_equal(res["hit"], ref["hit"])
+    np.testing.assert_allclose(res["t"], ref["t"], atol=1e-5)
+    assert res["steps"].sum() < ref["steps"].sum()
