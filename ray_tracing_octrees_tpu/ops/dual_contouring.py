@@ -513,8 +513,13 @@ def adaptive_dual_contouring(
     """
     import numpy as _np
 
-    leaf = _np.asarray(tree.is_leaf)
-    level = _np.asarray(tree.level)
+    from ray_tracing_octrees_tpu.core.grid import host_fetch
+
+    # host_fetch, NOT np.asarray: raw narrow-dtype unaligned fetches run at
+    # seconds/MB through the tunneled runtime — these two bool[N] pulls were
+    # most of the measured 21.7 s warm Calgary extraction (LADDER_r02).
+    leaf = host_fetch(tree.is_leaf).astype(bool)
+    level = host_fetch(tree.level)
     n_nodes = tree.num_nodes
 
     def _pad_pow2(ids, lo=64):
@@ -553,7 +558,7 @@ def adaptive_dual_contouring(
 
     # ---- pass 1: dual vertices for all needed leaves, per level ------------------
     vertex = _node_centers(tree, grid)  # default: own-size cell center
-    need_np = _np.asarray(need_vertex)
+    need_np = host_fetch(need_vertex).astype(bool)
     for k in levels_present:
         ids = _np.nonzero(leaf & (level == k) & need_np)[0].astype(_np.int32)
         if len(ids) == 0:
