@@ -176,6 +176,12 @@ class OctreeRayTracer:
             l = -jnp.asarray(self.config.raytrace.light_dir, jnp.float32)
             self._fast_shadow = shadow_volume(self._fast_vol, np.asarray(l))
 
+    def _eye_inside(self, camera: Camera) -> bool:
+        return _eye_inside_volume(
+            self.grid_origin, self.voxel_size,
+            self.pyramid.code_levels[0].shape, camera.get_pos(),
+        )
+
     def update_frustum(self, view_proj):
         """Culling step of renderSceneComputeWithCulling
         (RayTracerBVH.cpp:743-812): blank occupancy outside the frustum
@@ -217,7 +223,15 @@ class OctreeRayTracer:
             # Interior cameras stay on the fast path: _sweep_geometry
             # sweeps the forward half-volume from the eye's slab
             # (fly-throughs previously fell back to the exact tracer at
-            # ~0.2 Mrays/s).
+            # ~0.2 Mrays/s). EXCEPT when the frustum cone contains rays
+            # pointing backward along the sweep axis — those read miss from
+            # the half-volume sweep (documented divergence), so such poses
+            # route to the exact tracer, which the one-gather leaf volume
+            # now makes affordable (ADVICE r2).
+            if self._eye_inside(camera) and _frustum_crosses_sweep_plane(
+                camera.get_view(), self.config.camera.fov_deg, aspect
+            ):
+                fast = False
         if fast:
             return render_fast_frame(
                 self._fast_vol,
@@ -255,6 +269,24 @@ class OctreeRayTracer:
             shadows=shadows,
             leaf_vol=lv,
         )
+
+
+def _frustum_crosses_sweep_plane(view, fov_deg: float, aspect: float) -> bool:
+    """True when some frustum-corner ray points backward along the sweep
+    axis the interior half-volume sweep would pick (the most view-aligned
+    axis): |look_ax| <= tan(fov/2) * (aspect*|right_ax| + |up_ax|). An
+    un-normalized pixel ray is nx*right + ny*up + look with |nx| <=
+    aspect*tan_half, |ny| <= tan_half (generate_rays), so this bounds the
+    minimum axis component over the cone.
+    """
+    import math
+
+    v = np.asarray(view, np.float64)
+    look = -v[2, :3]
+    ax = int(np.argmax(np.abs(look)))
+    t = math.tan(math.radians(float(fov_deg)) / 2.0)
+    spread = t * (float(aspect) * abs(v[0, ax]) + abs(v[1, ax]))
+    return abs(look[ax]) <= spread * (1.0 + 1e-6)
 
 
 def _eye_inside_volume(grid_origin, voxel_size, dims_zyx, cam_pos) -> bool:

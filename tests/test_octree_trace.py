@@ -301,3 +301,37 @@ def test_trace_fast_ball_skip_matches_on_sphere(rng):
     np.testing.assert_array_equal(res["hit"], ref["hit"])
     np.testing.assert_allclose(res["t"], ref["t"], atol=1e-5)
     assert res["steps"].sum() < ref["steps"].sum()
+
+
+def test_interior_backward_cone_falls_back_to_exact():
+    """An interior camera whose frustum cone crosses the sweep plane must
+    not read miss from the half-volume sweep: render(fast=True) routes to
+    the exact tracer for such poses (ADVICE r2)."""
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    from ray_tracing_octrees_tpu.config import DEFAULT_CONFIG
+    from ray_tracing_octrees_tpu.models.octree_raytracer import (
+        _frustum_crosses_sweep_plane,
+    )
+
+    grid = make_sphere_grid(32)
+    cfg = _dc.replace(
+        DEFAULT_CONFIG, camera=_dc.replace(DEFAULT_CONFIG.camera,
+                                           fov_deg=100.0))
+    rt = OctreeRayTracer(config=cfg)
+    rt.set_octree(grid)
+
+    # eye at the hollow sphere center, looking diagonally: with fov 100
+    # the cone must contain rays pointing backward along every axis
+    cam = Camera(theta=0.62, phi=0.62, radius=0.01)
+    assert _frustum_crosses_sweep_plane(cam.get_view(), 100.0, 1.0)
+    img_fast = rt.render(cam, 32, 32, 1.0, shadows=False, fast=True)
+    img_exact = rt.render(cam, 32, 32, 1.0, shadows=False, fast=False)
+    np.testing.assert_allclose(
+        np.asarray(img_fast), np.asarray(img_exact), atol=1e-6)
+    # the shell surrounds the eye: every ray must hit
+    assert (np.asarray(img_fast)[..., :3].max(-1) > 0).all()
+
+    # a narrow aligned cone does NOT trip the fallback
+    cam2 = Camera(theta=0.0, phi=0.0, radius=0.01)
+    assert not _frustum_crosses_sweep_plane(cam2.get_view(), 30.0, 1.0)
