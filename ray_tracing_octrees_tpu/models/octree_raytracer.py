@@ -48,7 +48,8 @@ def lambert_shade(normal, hit, light_dir, base_color, ambient):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "max_steps", "shadows", "ball_skip"),
+    static_argnames=("width", "height", "max_steps", "shadows", "ball_skip",
+                     "bands"),
 )
 def render_octree_image(
     pyramid: OccupancyPyramid,
@@ -67,6 +68,7 @@ def render_octree_image(
     shadows: bool = False,
     leaf_vol=None,
     ball_skip: bool = False,
+    bands: int = 1,
 ):
     """Full frame: ray gen -> stackless octree trace -> Lambert shade.
 
@@ -98,18 +100,41 @@ def render_octree_image(
             jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
         )
 
-    res = trace(origins, dirs)
-    color = lambert_shade(res["normal"], res["hit"], light_dir, base_color, ambient)
-    if shadows:
-        l = jnp.asarray(light_dir, jnp.float32)
-        l = l / jnp.linalg.norm(l)
-        # offset along the normal to escape the surface cell
-        shadow_o = res["point"] + res["normal"] * (voxel_size * 2.0)
-        shadow_d = jnp.broadcast_to(-l[None, :], shadow_o.shape)
-        sres = trace(shadow_o, shadow_d)
-        occluded = sres["hit"] & res["hit"]
-        amb = jnp.asarray(ambient, jnp.float32)
-        color = jnp.where(occluded[:, None], jnp.broadcast_to(amb, color.shape), color)
+    def shade_rays(o_b, d_b):
+        res = trace(o_b, d_b)
+        color = lambert_shade(
+            res["normal"], res["hit"], light_dir, base_color, ambient)
+        if shadows:
+            l = jnp.asarray(light_dir, jnp.float32)
+            l = l / jnp.linalg.norm(l)
+            # offset along the normal to escape the surface cell
+            shadow_o = res["point"] + res["normal"] * (voxel_size * 2.0)
+            shadow_d = jnp.broadcast_to(-l[None, :], shadow_o.shape)
+            sres = trace(shadow_o, shadow_d)
+            occluded = sres["hit"] & res["hit"]
+            amb = jnp.asarray(ambient, jnp.float32)
+            color = jnp.where(
+                occluded[:, None], jnp.broadcast_to(amb, color.shape), color)
+        return color
+
+    if bands <= 1:
+        color = shade_rays(origins, dirs)
+    else:
+        # Row-band tracing: each band's while_loop exits as soon as ITS
+        # rays finish, so sky/near bands stop early instead of running in
+        # lockstep to the worst ray of the whole frame. One XLA program
+        # either way; outputs identical to bands=1 (bands are row slices
+        # traced by the very same per-ray ops).
+        rows = -(-height // bands)
+        colors = []
+        for b in range(bands):
+            r0, r1 = b * rows, min((b + 1) * rows, height)
+            if r0 >= r1:
+                break
+            sl = slice(r0 * width, r1 * width)
+            colors.append(shade_rays(origins[sl], dirs[sl]))
+        color = jnp.concatenate(colors, axis=0)
+
     alpha = jnp.ones((color.shape[0], 1), jnp.float32)
     img = jnp.concatenate([color, alpha], axis=-1)
     return img.reshape(height, width, 4)

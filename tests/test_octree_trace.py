@@ -335,3 +335,21 @@ def test_interior_backward_cone_falls_back_to_exact():
     # a narrow aligned cone does NOT trip the fallback
     cam2 = Camera(theta=0.0, phi=0.0, radius=0.01)
     assert not _frustum_crosses_sweep_plane(cam2.get_view(), 30.0, 1.0)
+
+
+def test_render_image_bands_identical():
+    """Row-band tracing (bands>1) returns the bands=1 image bit-for-bit."""
+    from ray_tracing_octrees_tpu.core.octree import build_leaf_volume
+
+    grid = make_sphere_grid(32)
+    pyr = build_pyramid(grid.occ)
+    lv = build_leaf_volume(pyr)
+    cam = Camera(theta=0.3, phi=0.7, radius=2.0)
+    args = (pyr, grid.origin, grid.voxel_size,
+            jnp.asarray(cam.get_pos(), jnp.float32),
+            jnp.asarray(cam.get_view(), jnp.float32),
+            48, 36, jnp.float32(45.0), jnp.float32(48 / 36))
+    a = render_octree_image(*args, shadows=True, leaf_vol=lv, ball_skip=True)
+    b = render_octree_image(*args, shadows=True, leaf_vol=lv, ball_skip=True,
+                            bands=5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
