@@ -156,6 +156,20 @@ def test_sweep_frame_segmented_matches_single():
     )
     np.testing.assert_allclose(np.asarray(img0), np.asarray(ref0), atol=1e-5)
 
+    # interior camera (forward half-volume crop) under slab segmentation
+    cam_in = Camera(theta=0.05, phi=0.1, radius=0.02)
+    pos_i = np.asarray(cam_in.get_pos(), np.float32)
+    view_i = np.asarray(cam_in.get_view(), np.float32)
+    ref_i = render_fast_frame(
+        vol, sv, g.origin, g.voxel_size, pos_i, view_i, 45.0, 1.0, W, H,
+        fused=False,
+    )
+    img_i = sweep_frame_segmented(
+        mesh, vol, sv, g.origin, g.voxel_size, pos_i, view_i, 45.0, 1.0, W, H,
+    )
+    np.testing.assert_allclose(np.asarray(img_i), np.asarray(ref_i), atol=1e-5)
+    assert (np.asarray(img_i)[..., :3].max(-1) > 0).any()
+
 
 def test_initialize_distributed_single_process_noop():
     from ray_tracing_octrees_tpu.parallel.distributed import (
