@@ -110,6 +110,13 @@ def render_octree_image(
             # offset along the normal to escape the surface cell
             shadow_o = res["point"] + res["normal"] * (voxel_size * 2.0)
             shadow_d = jnp.broadcast_to(-l[None, :], shadow_o.shape)
+            # Miss pixels have point = normal = 0, so their shadow rays
+            # would march real geometry from the world origin only to be
+            # masked out below. Park them far PAST the volume along the
+            # ray direction (volume behind => dead at step 0); the image
+            # is unchanged (occluded is ANDed with the primary hit).
+            shadow_o = jnp.where(
+                res["hit"][:, None], shadow_o, shadow_d * jnp.float32(3e7))
             sres = trace(shadow_o, shadow_d)
             occluded = sres["hit"] & res["hit"]
             amb = jnp.asarray(ambient, jnp.float32)
