@@ -350,6 +350,7 @@ def sweep_packed_segmented(
     return packed, scal, dict(
         axis_world=axis_world, flip=bool(flip), S=S, A=A, B=B,
         inter_h=inter_h, inter_w=inter_w, has_shadow=has_shadow,
+        scal_np=scal_np,
     )
 
 
@@ -388,7 +389,11 @@ def sweep_frame_segmented(
     ih, iw = meta["inter_h"], meta["inter_w"]
     lin, behind, dirs, d_s_n = ss._warp_setup(
         scal, meta["axis_world"], ih, iw, width, height)
-    w_val = ss._warp_values(packed, lin, ih, iw, width, height, None)
+    # Pallas one-hot warp on TPU (the headline's per-pixel lookup rate);
+    # _plan_warp_cfg returns None on CPU, keeping the XLA gather there.
+    warp_cfg = ss._plan_warp_cfg(
+        meta["scal_np"], meta["axis_world"], ih, iw, width, height)
+    w_val = ss._warp_values(packed, lin, ih, iw, width, height, warp_cfg)
     return ss._finish_shade(w_val, behind, dirs, d_s_n, scal, width, height,
                             meta["has_shadow"])
 
