@@ -174,7 +174,8 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
             jnp.asarray(cam.get_pos(), jnp.float32),
             jnp.asarray(cam.get_view(), jnp.float32),
             sw, sh_, jnp.float32(45.0), jnp.float32(aspect), shadows=True,
-            leaf_vol=lv, ball_skip=True, bands=4,
+            leaf_vol=lv, ball_skip=True,
+            ladder=((6, sw * sh_ // 8), (10, sw * sh_ // 32)),
         )
         out = f()
         jax.block_until_ready(out)

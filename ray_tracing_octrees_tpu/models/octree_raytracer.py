@@ -49,7 +49,7 @@ def lambert_shade(normal, hit, light_dir, base_color, ambient):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "max_steps", "shadows", "ball_skip",
-                     "bands"),
+                     "bands", "ladder"),
 )
 def render_octree_image(
     pyramid: OccupancyPyramid,
@@ -69,6 +69,7 @@ def render_octree_image(
     leaf_vol=None,
     ball_skip: bool = False,
     bands: int = 1,
+    ladder: tuple = (),
 ):
     """Full frame: ray gen -> stackless octree trace -> Lambert shade.
 
@@ -93,7 +94,7 @@ def render_octree_image(
             return trace_octree_fast(
                 leaf_vol, o, d, jnp.asarray(grid_origin, jnp.float32),
                 jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
-                ball_skip=ball_skip,
+                ball_skip=ball_skip, ladder=ladder,
             )
         return trace_octree(
             pyramid, o, d, jnp.asarray(grid_origin, jnp.float32),

@@ -189,7 +189,8 @@ def trace_octree(
     return dict(hit=hit, t=t_hit, point=point, normal=nrm, steps=steps)
 
 
-@functools.partial(jax.jit, static_argnames=("max_steps", "ball_skip"))
+@functools.partial(
+    jax.jit, static_argnames=("max_steps", "ball_skip", "ladder"))
 def trace_octree_fast(
     leaf_vol: jax.Array,    # u8[S, S, S] from core.octree.build_leaf_volume
     origins: jax.Array,     # f32[N, 3] world
@@ -198,6 +199,7 @@ def trace_octree_fast(
     voxel_size: jax.Array,   # f32[]
     max_steps: int = 512,
     ball_skip: bool = False,
+    ladder: tuple = (),
 ) -> dict:
     """:func:`trace_octree` with the pyramid descent folded into ONE gather.
 
@@ -214,6 +216,16 @@ def trace_octree_fast(
     leaf box — a strictly solid-free region, so hits cannot be skipped, but
     the sample sequence (and thus rare nudge-epsilon corner cases) may
     differ from the reference stepping; kept opt-in for that reason.
+
+    ``ladder``: compaction schedule, e.g. ((6, N//8), (8, N//32)) — run 6
+    lockstep steps at full width, gather survivors into an N//8 buffer,
+    run 8 more, gather into N//32, finish there (wavefront compaction:
+    most rays finish in a few steps — Calgary bench pose p50 = 7 — while
+    the lockstep while pays full frame width for the tail). Per-ray step
+    math is width-agnostic, so outputs are unchanged; the only semantic
+    caveat is the ``max_steps`` workload cap, which applies per phase
+    rather than as one global lockstep cut (identical whenever no ray
+    reaches the cap, as on every real scene: Calgary max = 50 of 512).
 
     Reference anchor: intersectOctreeIterative (RayTracerBVH.cpp:239-327)
     runs one node fetch per visit on a GL compute unit; this is the
@@ -256,32 +268,55 @@ def trace_octree_fast(
         radius = jnp.where(inb, lv >> 5, 0)
         return solid, cell_min, size, v, radius
 
-    def body(state):
-        t, alive, hit, t_hit, cmin_out, csize_out, steps = state
-        p = o + d * nudge(t)[:, None]
-        solid, cmin, csize, v, radius = find_leaf(p)
-        t_near, t_far = _slab(o, inv_d, deg, cmin, cmin + csize[:, None])
+    def make_body(o_, d_, inv_d_, deg_, t_root_far_):
+        """The DDA step over a given row set — per-ray float ops are
+        identical at every width, so compaction cannot change outputs."""
 
-        new_hit = alive & solid
-        hit = hit | new_hit
-        t_hit = jnp.where(new_hit, jnp.maximum(t_near, 0.0), t_hit)
-        cmin_out = jnp.where(new_hit[:, None], cmin, cmin_out)
-        csize_out = jnp.where(new_hit, csize, csize_out)
+        def body(state):
+            t, alive, hit, t_hit, cmin_out, csize_out, steps = state
+            p = o_ + d_ * nudge(t)[:, None]
+            solid, cmin, csize, v, radius = find_leaf(p)
+            t_near, t_far = _slab(o_, inv_d_, deg_, cmin, cmin + csize[:, None])
 
-        if ball_skip:
-            bmin = (v - radius[:, None]).astype(f32)
-            bmax = (v + radius[:, None]).astype(f32) + 1.0
-            _, t_far_ball = _slab(o, inv_d, deg, bmin, bmax)
-            t_far = jnp.maximum(t_far, t_far_ball)
+            new_hit = alive & solid
+            hit = hit | new_hit
+            t_hit = jnp.where(new_hit, jnp.maximum(t_near, 0.0), t_hit)
+            cmin_out = jnp.where(new_hit[:, None], cmin, cmin_out)
+            csize_out = jnp.where(new_hit, csize, csize_out)
 
-        t = jnp.where(alive & ~solid, jnp.maximum(t_far, nudge(t)), t)
-        alive = alive & ~solid & (t < t_root_far)
-        steps = steps + alive.astype(jnp.int32)
-        return t, alive, hit, t_hit, cmin_out, csize_out, steps
+            if ball_skip:
+                bmin = (v - radius[:, None]).astype(f32)
+                bmax = (v + radius[:, None]).astype(f32) + 1.0
+                _, t_far_ball = _slab(o_, inv_d_, deg_, bmin, bmax)
+                t_far = jnp.maximum(t_far, t_far_ball)
 
-    def cond(state):
-        _, alive, _, _, _, _, steps = state
-        return jnp.any(alive) & (steps.max() < max_steps)
+            t = jnp.where(alive & ~solid, jnp.maximum(t_far, nudge(t)), t)
+            alive = alive & ~solid & (t < t_root_far_)
+            steps = steps + alive.astype(jnp.int32)
+            return t, alive, hit, t_hit, cmin_out, csize_out, steps
+
+        return body
+
+    def phase(o_, d_, t_root_far_, st, iters):
+        """Run the DDA on one row set: ``iters`` bounded steps, or to
+        completion when ``iters`` is None."""
+        body = make_body(o_, d_, _safe_inv(d_), _degenerate_axes(d_),
+                         t_root_far_)
+        if iters is None:
+            def cond(s):
+                return jnp.any(s[1]) & (s[6].max() < max_steps)
+
+            return jax.lax.while_loop(cond, body, st)
+
+        def cond(ks):
+            k, s = ks
+            return (k < iters) & jnp.any(s[1]) & (s[6].max() < max_steps)
+
+        def bodyk(ks):
+            k, s = ks
+            return k + 1, body(s)
+
+        return jax.lax.while_loop(cond, bodyk, (jnp.int32(0), st))[1]
 
     state = (
         t0,
@@ -292,8 +327,54 @@ def trace_octree_fast(
         jnp.zeros(n, f32),
         jnp.zeros(n, jnp.int32),
     )
-    t, alive, hit, t_hit, cmin, csize, steps = jax.lax.while_loop(
-        cond, body, state)
+
+    if not ladder:
+        state = phase(o, d, t_root_far, state, None)
+    else:
+        # Compaction ladder: most rays finish within a few steps; the
+        # lockstep while otherwise pays full frame width for the tail.
+        # After each bounded phase, gather the surviving rows into a
+        # narrow buffer (row ids via prefix-sum rank), finish them there,
+        # and scatter results back. Per-ray step math is width-agnostic,
+        # so results are bit-identical; survivors beyond a stage cap stay
+        # in the full-width state and the final cleanup loop (normally 0
+        # trips) finishes them.
+        state = phase(o, d, t_root_far, state, ladder[0][0])
+        for si, (_, cap) in enumerate(ladder):
+            t_f, alive_f, hit_f, th_f, cm_f, cs_f, steps_f = state
+            na = jnp.sum(alive_f.astype(jnp.int32))
+            rank = jnp.cumsum(alive_f.astype(jnp.int32)) - 1
+            sel = alive_f & (rank < cap)
+            slot = jnp.where(sel, rank, cap)
+            ids = jnp.zeros(cap + 1, jnp.int32).at[slot].set(
+                jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+            valid = jnp.arange(cap) < jnp.minimum(na, cap)
+            st_c = (
+                t_f[ids],
+                alive_f[ids] & valid,
+                jnp.zeros(cap, jnp.bool_),
+                jnp.zeros(cap, f32),
+                jnp.zeros((cap, 3), f32),
+                jnp.zeros(cap, f32),
+                steps_f[ids],
+            )
+            nxt = ladder[si + 1][0] if si + 1 < len(ladder) else None
+            st_c = phase(o[ids], d[ids], t_root_far[ids], st_c, nxt)
+            t_c, al_c, hit_c, th_c, cm_c, cs_c, steps_c = st_c
+            sids = jnp.where(valid, ids, n)
+            state = (
+                t_f.at[sids].set(t_c, mode="drop"),
+                alive_f.at[sids].set(al_c, mode="drop"),
+                hit_f.at[sids].set(hit_c, mode="drop"),
+                th_f.at[sids].set(th_c, mode="drop"),
+                cm_f.at[sids].set(cm_c, mode="drop"),
+                cs_f.at[sids].set(cs_c, mode="drop"),
+                steps_f.at[sids].set(steps_c, mode="drop"),
+            )
+        # overflow cleanup (rays whose rank exceeded a stage cap)
+        state = phase(o, d, t_root_far, state, None)
+
+    t, alive, hit, t_hit, cmin, csize, steps = state
 
     point = origins + directions * t_hit[:, None]
     center_vox = cmin + 0.5 * csize[:, None]

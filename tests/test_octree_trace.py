@@ -353,3 +353,30 @@ def test_render_image_bands_identical():
     b = render_octree_image(*args, shadows=True, leaf_vol=lv, ball_skip=True,
                             bands=5)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("ball", [False, True])
+def test_trace_fast_ladder_bit_matches(rng, ball):
+    """The compaction ladder returns the no-ladder results bitwise."""
+    from ray_tracing_octrees_tpu.core.octree import build_leaf_volume
+    from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree_fast
+
+    occ = (rng.random((16, 16, 16)) < 0.08).astype(np.uint8)
+    grid = VoxelGrid.create(occ, origin=(-0.4, -0.6, -0.2), voxel_size=0.17)
+    pyr = build_pyramid(grid.occ)
+    lv = build_leaf_volume(pyr)
+    n = 512
+    o = np.asarray(grid.origin)[None, :] + (
+        rng.random((n, 3)) * 16 * 0.17 * 1.5 - 0.4)
+    d = random_dirs(rng, n)
+    oj = jnp.asarray(o, jnp.float32)
+    dj = jnp.asarray(d, jnp.float32)
+    ref = trace_octree_fast(lv, oj, dj, grid.origin, grid.voxel_size,
+                            ball_skip=ball)
+    # tiny caps force overflow through the cleanup loop too
+    for ladder in (((4, 128), (6, 32)), ((2, 8),), ((1, 1), (1, 1))):
+        res = trace_octree_fast(lv, oj, dj, grid.origin, grid.voxel_size,
+                                ball_skip=ball, ladder=ladder)
+        for k in ("hit", "t", "normal", "steps"):
+            np.testing.assert_array_equal(
+                np.asarray(res[k]), np.asarray(ref[k]), err_msg=f"{ladder} {k}")
