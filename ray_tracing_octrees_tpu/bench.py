@@ -166,17 +166,34 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
 
         pyr = build_pyramid(grid.occ)
         # One-gather leaf-volume traversal + Chebyshev empty-ball skipping
-        # (bit-parity with trace_octree asserted by tests/test_octree_trace).
-        lv = jax.block_until_ready(build_leaf_volume(pyr))
-        sw, sh_ = 480, 270
-        f = lambda: render_octree_image(
-            pyr, grid.origin, grid.voxel_size,
-            jnp.asarray(cam.get_pos(), jnp.float32),
-            jnp.asarray(cam.get_view(), jnp.float32),
-            sw, sh_, jnp.float32(45.0), jnp.float32(aspect), shadows=True,
-            leaf_vol=lv, ball_skip=True,
-            ladder=((6, sw * sh_ // 8), (10, sw * sh_ // 32)),
+        # (bit-parity with trace_octree asserted by tests/test_octree_trace)
+        # + conservative sweep seeds (provable miss => dead at step 0,
+        # provably-empty lead space skipped) + compaction ladder.
+        from ray_tracing_octrees_tpu.trace.slab_sweep import (
+            dilate_occupancy,
+            sweep_seed,
         )
+
+        lv = jax.block_until_ready(build_leaf_volume(pyr))
+        dil = jax.block_until_ready(dilate_occupancy(vol))
+        sw, sh_ = width, height
+        n_rays = sw * sh_
+        lad = ((4, n_rays // 4), (8, n_rays // 16), (8, n_rays // 64))
+
+        def f():
+            live, ts, ext = sweep_seed(
+                dil, grid.origin, grid.voxel_size, cam.get_pos(),
+                cam.get_view(), 45.0, aspect, sw, sh_)
+            return render_octree_image(
+                pyr, grid.origin, grid.voxel_size,
+                jnp.asarray(cam.get_pos(), jnp.float32),
+                jnp.asarray(cam.get_view(), jnp.float32),
+                sw, sh_, jnp.float32(45.0), jnp.float32(aspect),
+                shadows=True, leaf_vol=lv, ball_skip=True, ladder=lad,
+                seed_live=live if ext else None,
+                seed_t=ts if ext else None,
+            )
+
         out = f()
         jax.block_until_ready(out)
         ex_iters = 3

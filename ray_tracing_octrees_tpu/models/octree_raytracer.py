@@ -70,6 +70,8 @@ def render_octree_image(
     ball_skip: bool = False,
     bands: int = 1,
     ladder: tuple = (),
+    seed_live=None,   # bool[H*W] from slab_sweep.sweep_seed (primary only)
+    seed_t=None,      # f32[H*W]
 ):
     """Full frame: ray gen -> stackless octree trace -> Lambert shade.
 
@@ -85,7 +87,7 @@ def render_octree_image(
     """
     origins, dirs = generate_rays(width, height, cam_pos, view, fov_deg, aspect)
 
-    def trace(o, d):
+    def trace(o, d, live=None, ts=None):
         if leaf_vol is not None:
             from ray_tracing_octrees_tpu.trace.octree_trace import (
                 trace_octree_fast,
@@ -95,14 +97,15 @@ def render_octree_image(
                 leaf_vol, o, d, jnp.asarray(grid_origin, jnp.float32),
                 jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
                 ball_skip=ball_skip, ladder=ladder,
+                t_start=ts, live_mask=live,
             )
         return trace_octree(
             pyramid, o, d, jnp.asarray(grid_origin, jnp.float32),
             jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
         )
 
-    def shade_rays(o_b, d_b):
-        res = trace(o_b, d_b)
+    def shade_rays(o_b, d_b, live_b=None, ts_b=None):
+        res = trace(o_b, d_b, live_b, ts_b)
         color = lambert_shade(
             res["normal"], res["hit"], light_dir, base_color, ambient)
         if shadows:
@@ -126,7 +129,7 @@ def render_octree_image(
         return color
 
     if bands <= 1:
-        color = shade_rays(origins, dirs)
+        color = shade_rays(origins, dirs, seed_live, seed_t)
     else:
         # Row-band tracing: each band's while_loop exits as soon as ITS
         # rays finish, so sky/near bands stop early instead of running in
@@ -140,7 +143,11 @@ def render_octree_image(
             if r0 >= r1:
                 break
             sl = slice(r0 * width, r1 * width)
-            colors.append(shade_rays(origins[sl], dirs[sl]))
+            colors.append(shade_rays(
+                origins[sl], dirs[sl],
+                None if seed_live is None else seed_live[sl],
+                None if seed_t is None else seed_t[sl],
+            ))
         color = jnp.concatenate(colors, axis=0)
 
     alpha = jnp.ones((color.shape[0], 1), jnp.float32)

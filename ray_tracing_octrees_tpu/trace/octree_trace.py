@@ -200,6 +200,8 @@ def trace_octree_fast(
     max_steps: int = 512,
     ball_skip: bool = False,
     ladder: tuple = (),
+    t_start=None,      # f32[N]: conservative per-ray start t (world units)
+    live_mask=None,    # bool[N]: rays proven to miss start dead
 ) -> dict:
     """:func:`trace_octree` with the pyramid descent folded into ONE gather.
 
@@ -243,6 +245,14 @@ def trace_octree_fast(
     t_root_near, t_root_far = _slab(o, inv_d, deg, jnp.float32(0.0), root_size)
     alive0 = (t_root_near <= t_root_far) & (t_root_far > 0)
     t0 = jnp.maximum(t_root_near, 0.0)
+    # Conservative seeds (slab_sweep.sweep_seed): skip provably-empty
+    # leading space / provably-missing rays. Sampled points change only
+    # across solid-free regions, so outputs match the unseeded trace up to
+    # the nudge-epsilon grazing class (tests measure equality).
+    if t_start is not None:
+        t0 = jnp.maximum(t0, t_start)
+    if live_mask is not None:
+        alive0 = alive0 & live_mask
 
     n = origins.shape[0]
     f32 = jnp.float32

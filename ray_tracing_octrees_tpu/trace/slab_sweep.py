@@ -491,9 +491,135 @@ def _sweep_first_hit_jit(vol_bf, scal, n_chunks, s_valid, a_size, b_size,
     return _finish_sweep(w_val, behind, dirs, d_s_n, scal)
 
 
-@jax.jit
-def _take(table, idx):
-    return jnp.take(table, idx)
+SEED_DILATION = 3
+
+
+def dilate_occupancy(volume, radius: int = SEED_DILATION):
+    """Chebyshev dilation of a 0/1 occupancy volume, PADDED by ``radius``
+    on every side (for sweep_seed: a ray crossing an edge voxel can have
+    its slab-center sample up to 2 cells outside the array, where the
+    resample taps would read 0 whatever the dilation — the pad keeps every
+    tap of every in-bounds crossing inside dilated-1 cells). The caller's
+    grid origin shifts by -radius voxels; sweep_seed does this itself."""
+    occ = jnp.asarray(volume) > 0
+    r = int(radius)
+    occ = jnp.pad(occ, ((r, r), (r, r), (r, r)), constant_values=False)
+    k = 2 * r + 1
+    dil = jax.lax.reduce_window(
+        occ, False, jax.lax.bitwise_or,
+        window_dimensions=(k, k, k), window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    return dil.astype(jnp.float32)
+
+
+def sweep_seed(
+    volume_dilated,   # f32[Z+6, Y+6, X+6] from dilate_occupancy(occ)
+    grid_origin,      # of the ORIGINAL grid; the pad shift happens here
+    voxel_size,
+    camera_pos,
+    view,
+    fov_deg: float,
+    aspect: float,
+    width: int,
+    height: int,
+):
+    """CONSERVATIVE per-pixel DDA seeds from one sweep of the dilated grid.
+
+    Returns (live bool[N], t_seed f32[N], exterior bool). For an EXTERIOR
+    camera (exterior=True) the guarantees are:
+
+      * live[i] == False  =>  ray i hits NO solid voxel (safe to skip the
+        exact DDA entirely — the dilated volume is a superset of the
+        occupancy, and the radius-3 dilation makes the 0.5-threshold
+        bilinear slab test conservative: if the ray crosses a solid voxel
+        w in slab o, the crossing point lies within |slope|/2 <= 2 cells
+        of the slab-center sample laterally, the four bilinear taps within
+        1 more, so EVERY tap cell is within 3 of w and reads 1 — the
+        resampled value is exactly 1 > 0.5; valid while the frame's max
+        lateral slope <= 4, checked on the host from the window extents),
+      * t_seed[i] <= the world-t at which ray i first enters any solid
+        voxel (the dilated first hit can only be EARLIER; 2.5 slabs of
+        margin cover the slab-center quantization).
+
+    With exterior=False (interior eye: forward half-volume crop drops the
+    eye's slab and backward rays) no skipping claim holds; callers must
+    ignore the seeds. Seeding changes the exact tracer's sampled-point
+    sequence only across provably-empty space, so outputs match the
+    unseeded trace except in the nudge-epsilon grazing class (tests
+    measure equality).
+    """
+    f32 = jnp.float32
+    origin_p = np.asarray(grid_origin, np.float32) - np.float32(
+        SEED_DILATION) * np.float32(voxel_size)
+    axis_world, flip, (S, A, B), eyes, window, crop_lo = _sweep_geometry(
+        volume_dilated, origin_p, voxel_size, camera_pos, view
+    )
+    n = width * height
+    cam_vox = (
+        np.asarray(camera_pos, np.float64) - np.asarray(origin_p, np.float64)
+    ) / float(voxel_size)
+    dz_, dy_, dx_ = volume_dilated.shape[:3]
+    inside = bool(
+        (0 <= cam_vox[0] <= dx_) and (0 <= cam_vox[1] <= dy_)
+        and (0 <= cam_vox[2] <= dz_)
+    )
+    a_min, a_max, b_min, b_max = window
+    eye_s, eye_a, eye_b, z0 = eyes
+    span = abs(z0 - eye_s)
+    slope_max = max(abs(a_min - eye_a), abs(a_max - eye_a),
+                    abs(b_min - eye_b), abs(b_max - eye_b)) / max(span, 1e-9)
+    if inside or crop_lo != 0 or slope_max > 4.0:
+        return (jnp.ones(n, bool), jnp.zeros(n, f32), False)
+
+    auto_h, auto_w = _auto_inter(window)
+    vol_bf = _layout_volume(volume_dilated, axis_world, flip, S, A, B, crop_lo)
+    sp = vol_bf.shape[0]
+    scal_np = _frame_scalars_np(
+        eye_s, eye_a, eye_b, z0, a_min, a_max, b_min, b_max,
+        fov_deg, aspect, float(voxel_size), S,
+        origin_p,
+        np.asarray(camera_pos, np.float32), view,
+    )
+    scal = jnp.asarray(scal_np)
+    warp_cfg = _plan_warp_cfg(scal_np, axis_world, auto_h, auto_w,
+                              width, height)
+    live, t_seed = _sweep_seed_jit(
+        vol_bf, scal, sp // 32, S, A, B, auto_h, auto_w, bool(flip),
+        axis_world, width, height, warp_cfg,
+    )
+    return live, t_seed, True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
+                     "inter_w", "flip", "axis_world", "width", "height",
+                     "warp_cfg"),
+)
+def _sweep_seed_jit(vol_bf, scal, n_chunks, s_valid, a_size, b_size,
+                    inter_h, inter_w, flip, axis_world, width, height,
+                    warp_cfg):
+    packed = _sweep_all(
+        vol_bf, scal, n_chunks, s_valid, a_size, b_size, inter_h, inter_w,
+        flip,
+    )
+    lin, behind, dirs, d_s_n = _warp_setup(
+        scal, axis_world, inter_h, inter_w, width, height
+    )
+    w_val = _warp_values(packed, lin, inter_h, inter_w, width, height,
+                         warp_cfg)
+    eye_s = scal[0]
+    voxel_size = scal[10]
+    live = (w_val >= 0.0) & ~behind
+    # entry of the dilated hit slab minus margin: 2.5 slabs EARLIER along
+    # the ray (toward the eye — sign(d_s_n) is the k-space travel
+    # direction) covers the center-vs-entry half slab and the warp/tap
+    # quantization with a full 2-slab cushion
+    z_f = w_val - 2.5 * jnp.sign(d_s_n)
+    t_seed = (z_f - eye_s) * voxel_size / d_s_n
+    t_seed = jnp.where(live, jnp.maximum(t_seed, 0.0), 0.0)
+    return live, t_seed
 
 
 @jax.jit

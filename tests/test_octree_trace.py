@@ -380,3 +380,52 @@ def test_trace_fast_ladder_bit_matches(rng, ball):
         for k in ("hit", "t", "normal", "steps"):
             np.testing.assert_array_equal(
                 np.asarray(res[k]), np.asarray(ref[k]), err_msg=f"{ladder} {k}")
+
+
+@pytest.mark.parametrize("pose", [(0.3, 0.7), (0.9, 0.8), (-0.4, 0.2),
+                                  (0.05, 1.3)])
+def test_seeded_trace_matches_plain(rng, pose):
+    """Conservative sweep seeds: identical hits/depths, miss=>dead sound.
+
+    Sparse isolated voxels are the adversarial case for the resampled
+    sweep — the radius-3 dilation must make every 0.5-threshold bilinear
+    test conservative."""
+    from ray_tracing_octrees_tpu.core.octree import build_leaf_volume
+    from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree_fast
+    from ray_tracing_octrees_tpu.trace.slab_sweep import (
+        dilate_occupancy, sweep_seed,
+    )
+
+    occ = (rng.random((24, 24, 24)) < 0.03).astype(np.uint8)
+    grid = VoxelGrid.create(occ, origin=(-0.5, -0.5, -0.5), voxel_size=1 / 24)
+    pyr = build_pyramid(grid.occ)
+    lv = build_leaf_volume(pyr)
+    vol = (jnp.asarray(grid.occ) > 0).astype(jnp.float32)
+    dil = dilate_occupancy(vol, 3)
+
+    th, ph = pose
+    cam = Camera(theta=th, phi=ph, radius=2.2)
+    pos = jnp.asarray(cam.get_pos(), jnp.float32)
+    view = jnp.asarray(cam.get_view(), jnp.float32)
+    W = H = 64
+    o, d = generate_rays(W, H, pos, view, 45.0, 1.0)
+
+    live, t_seed, ext = sweep_seed(
+        dil, grid.origin, grid.voxel_size, pos, view, 45.0, 1.0, W, H)
+    assert ext
+
+    ref = trace_octree_fast(lv, o, d, grid.origin, grid.voxel_size,
+                            ball_skip=True)
+    res = trace_octree_fast(lv, o, d, grid.origin, grid.voxel_size,
+                            ball_skip=True, t_start=t_seed, live_mask=live)
+
+    rhit = np.asarray(ref["hit"])
+    # conservativeness invariants
+    assert np.asarray(live)[rhit].all(), "a true hit was marked dead"
+    assert (np.asarray(t_seed)[rhit]
+            <= np.asarray(ref["t"])[rhit] + 1e-5).all(), "seed past the hit"
+    # end-to-end equality
+    np.testing.assert_array_equal(np.asarray(res["hit"]), rhit)
+    np.testing.assert_array_equal(np.asarray(res["t"]), np.asarray(ref["t"]))
+    np.testing.assert_array_equal(
+        np.asarray(res["normal"]), np.asarray(ref["normal"]))
