@@ -196,6 +196,7 @@ class OctreeRayTracer:
         self._fast_vol = None
         self._fast_shadow = None
         self._leaf_vol = None
+        self._seed_vol = None
 
     def _ensure_leaf_vol(self):
         """Packed per-voxel leaf descriptors for the one-gather exact
@@ -205,6 +206,17 @@ class OctreeRayTracer:
 
             self._leaf_vol = build_leaf_volume(self.pyramid)
         return self._leaf_vol
+
+    def _ensure_seed_vol(self):
+        """Dilated occupancy for conservative exact-tracer seeds."""
+        if getattr(self, "_seed_vol", None) is None:
+            from ray_tracing_octrees_tpu.trace.slab_sweep import (
+                dilate_occupancy,
+            )
+
+            self._seed_vol = dilate_occupancy(
+                (self.pyramid.code_levels[0] > 0).astype(jnp.float32))
+        return self._seed_vol
 
     def _ensure_fast(self):
         if self._fast_vol is None:
@@ -292,6 +304,21 @@ class OctreeRayTracer:
         # Leaf-volume one-gather traversal for the scene pyramid; the culled
         # pyramid differs per pose, so culling keeps the per-level descent.
         lv = self._ensure_leaf_vol() if pyr is self.pyramid else None
+        seed_live = seed_t = None
+        ladder = ()
+        if lv is not None:
+            from ray_tracing_octrees_tpu.trace.slab_sweep import sweep_seed
+
+            live, ts, ext = sweep_seed(
+                self._ensure_seed_vol(), self.grid_origin, self.voxel_size,
+                camera.get_pos(), camera.get_view(),
+                self.config.camera.fov_deg, aspect, width, height,
+            )
+            if ext:
+                seed_live, seed_t = live, ts
+            n_rays = width * height
+            ladder = ((4, max(256, n_rays // 4)),
+                      (8, max(128, n_rays // 16)))
         return render_octree_image(
             pyr,
             self.grid_origin,
@@ -308,6 +335,9 @@ class OctreeRayTracer:
             max_steps=rt.max_traversal_steps,
             shadows=shadows,
             leaf_vol=lv,
+            ladder=ladder,
+            seed_live=seed_live,
+            seed_t=seed_t,
         )
 
 
