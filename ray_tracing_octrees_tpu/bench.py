@@ -176,7 +176,11 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
 
         lv = jax.block_until_ready(build_leaf_volume(pyr))
         dil = jax.block_until_ready(dilate_occupancy(vol))
-        sw, sh_ = width, height
+        # 960x540 default amortizes the per-frame sweeps without risking a
+        # cold full-1080p compile inside the driver's bench window;
+        # override with RTO_BENCH_EXACT_RES=WxH.
+        res = os.environ.get("RTO_BENCH_EXACT_RES", "960x540")
+        sw, sh_ = (int(x) for x in res.split("x"))
         n_rays = sw * sh_
         lad = ((4, n_rays // 4), (8, n_rays // 16), (8, n_rays // 64))
 
