@@ -398,6 +398,90 @@ def sweep_frame_segmented(
                             meta["has_shadow"])
 
 
+def volume_frame_segmented(
+    mesh: Mesh,
+    scene,             # trace.raymarch_sweep.VolumeSweepScene
+    grid_origin,
+    camera_pos,
+    view,
+    fov_deg: float,
+    aspect: float,
+    width: int,
+    height: int,
+    time_value: float = 0.0,
+    axis: str = "sp",
+):
+    """The VOLUME_RAYCAST fast frame, slab-segmented across chips.
+
+    The SP analog SURVEY §2.8 calls for on the raymarch loop: each device
+    holds 1/n of the sweep-layout slab rows of the detection and packed
+    field volumes, sweeps only its segment (``_volume_sweep_core`` with a
+    global row offset), the global first hit is one ``pmin``, and the
+    winning segment's field values follow by pick-and-psum (globally
+    unique rows => exactly one winner). Warp + shading epilogue run
+    replicated (per-pixel closed forms). Matches single-device
+    ``render_volume_frame`` bit-for-bit by construction; asserted by
+    tests/test_parallel.py.
+    """
+    from ray_tracing_octrees_tpu.trace import raymarch_sweep as rs
+
+    ndev = mesh.shape[axis]
+    det_bf, cats, scal_np, m = rs._volume_frame_inputs(
+        scene, grid_origin, camera_pos, view, fov_deg, aspect)
+    S, A, B = m["S"], m["A"], m["B"]
+    ih, iw, nf, flip = m["inter_h"], m["inter_w"], m["nf"], m["flip"]
+    axis_world = m["axis_world"]
+    sp = det_bf.shape[0]
+    sp_pad = (-sp) % (32 * ndev)
+    if sp_pad:
+        det_bf = jnp.concatenate(
+            [det_bf, jnp.zeros((sp_pad, A, B), det_bf.dtype)], 0)
+        cats = [jnp.concatenate(
+            [c, jnp.zeros((sp_pad,) + c.shape[1:], c.dtype)], 0)
+            for c in cats]
+    sp_t = det_bf.shape[0]
+    sp_l = sp_t // ndev
+
+    sh = NamedSharding(mesh, P(axis, None, None))
+    det_s = jax.device_put(det_bf, sh)
+    cats_s = tuple(jax.device_put(c, sh) for c in cats)
+    scal = jnp.asarray(scal_np)
+
+    def local(det_l, cats_l, scal_r):
+        ob = jax.lax.axis_index(axis) * sp_l
+        fo, vals = rs._volume_sweep_core(
+            det_l, cats_l, scal_r, sp_l // 32, S, A, B, ih, iw, flip, nf,
+            o_base=ob)
+        fo_g = jax.lax.pmin(fo, axis)
+        won = (fo == fo_g) & (fo_g < jnp.float32(S))
+        vals_g = tuple(
+            jax.lax.psum(jnp.where(won, v, 0.0), axis) for v in vals)
+        return fo_g, vals_g
+
+    @jax.jit
+    def run(det_in, cats_in, scal_in, tv):
+        fo, vals = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None, None),
+                      tuple(P(axis, None, None) for _ in cats_in), P()),
+            out_specs=(P(None, None),
+                       tuple(P(None, None) for _ in cats_in)),
+            check_rep=False,
+        )(det_in, cats_in, scal_in)
+        packed, flat_vals = rs._pack_volume_first_o(fo, vals, S, flip)
+        lin, behind, dirs, d_s_n = rs._warp_setup(
+            scal_in, axis_world, ih, iw, width, height)
+        safe = jnp.maximum(lin, 0)
+        w_depth = jnp.where(lin < 0, -1.0, jnp.take(packed, safe))
+        w_vals = tuple(
+            jnp.where(lin < 0, 0.0, jnp.take(v, safe)) for v in flat_vals)
+        return rs._shade_pixels(w_depth, w_vals, behind, dirs, d_s_n,
+                                scal_in, tv, width, height)
+
+    return run(det_s, cats_s, scal, jnp.asarray(time_value, jnp.float32))
+
+
 def marching_cubes_halo(
     mesh: Mesh,
     occ: jax.Array,

@@ -273,19 +273,19 @@ def _layout_bundle(scene: VolumeSweepScene, axis_world: int, flip: bool,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_chunks", "s_valid", "a_size", "b_size",
-                     "inter_h", "inter_w", "flip", "nf"),
-)
-def _volume_sweep(det_bf, cats, scal, n_chunks: int, s_valid: int,
-                  a_size: int, b_size: int, inter_h: int, inter_w: int,
-                  flip: bool, nf: Tuple[int, ...]):
-    """One fused program: first-hit detection + field values at the hit.
+def _volume_sweep_core(det_bf, cats, scal, n_chunks: int, s_valid: int,
+                       a_size: int, b_size: int, inter_h: int, inter_w: int,
+                       flip: bool, nf: Tuple[int, ...], o_base=None):
+    """Traceable core: first-hit detection + field values at the hit.
 
-    Returns (packed f32[IH*IW] (k + 0.5 or -1), vals tuple of f32[IH*IW]
-    24-bit packed field integers per channel).
-    """
+    Returns (first_o f32[IH, IW] — GLOBAL layout-row index of the first
+    hit, sentinel s_valid + 1 on miss — and vals, tuple of f32[IH, IW]
+    24-bit packed field integers per channel at that hit). ``o_base``
+    (traced scalar, default 0) offsets local slab rows into global rows —
+    the slab-segmented multi-chip decomposition: the global first hit is
+    the plain pmin of per-device first_o (rows globally unique), the
+    winner's field values follow by pick-and-psum
+    (parallel/sharding.py::volume_frame_segmented)."""
     CH = 32
     sp = det_bf.shape[0]
     eye_s, eye_a, eye_b, z0 = scal[0], scal[1], scal[2], scal[3]
@@ -293,7 +293,8 @@ def _volume_sweep(det_bf, cats, scal, n_chunks: int, s_valid: int,
 
     ua = a_min + (a_max - a_min) * (jnp.arange(inter_h, dtype=f32) + 0.5) / inter_h
     ub = b_min + (b_max - b_min) * (jnp.arange(inter_w, dtype=f32) + 0.5) / inter_w
-    o_all = jnp.arange(sp, dtype=f32)
+    ob = f32(0) if o_base is None else jnp.asarray(o_base).astype(f32)
+    o_all = jnp.arange(sp, dtype=f32) + ob
     k_all = (f32(s_valid) - 1.0 - o_all) if flip else o_all
     s_all = (z0 - eye_s) / (k_all + 0.5 - eye_s)
     pa_all = (ua[None, :] - eye_a) / s_all[:, None] + eye_a
@@ -314,7 +315,7 @@ def _volume_sweep(det_bf, cats, scal, n_chunks: int, s_valid: int,
     mb_pk3 = jnp.concatenate(
         [mbN, mbN * bf16(256.0), mbN * bf16(65536.0)], axis=2)
 
-    big_o = f32(sp + 1)
+    big_o = f32(s_valid + 1)
     ci_iota = jax.lax.broadcasted_iota(jnp.int32, (CH, 1, 1), 0)
     n_ch = len(nf)
 
@@ -327,7 +328,8 @@ def _volume_sweep(det_bf, cats, scal, n_chunks: int, s_valid: int,
         sh = jnp.einsum("cbh,cwb->chw", hb, mb, preferred_element_type=bf16)
         hits = sh > 0.5
         am = jnp.argmax(hits, axis=0)
-        cand = jnp.where(hits.any(axis=0), (ci * CH + am).astype(f32), big_o)
+        cand = jnp.where(hits.any(axis=0), (ci * CH + am).astype(f32) + ob,
+                         big_o)
         upd = cand < first_o
         sel = (ci_iota == am[None]).astype(f32)
 
@@ -352,11 +354,31 @@ def _volume_sweep(det_bf, cats, scal, n_chunks: int, s_valid: int,
 
     init = (jnp.full((inter_h, inter_w), big_o),
             tuple(jnp.zeros((inter_h, inter_w), f32) for _ in range(n_ch)))
-    first_o, vals = jax.lax.fori_loop(0, n_chunks, chunk, init)
+    return jax.lax.fori_loop(0, n_chunks, chunk, init)
+
+
+def _pack_volume_first_o(first_o, vals, s_valid: int, flip: bool):
+    """first_o/vals -> (packed k+0.5 or -1, flat vals), split from the
+    sweep so the segmented path packs AFTER its cross-device combine."""
     hit_i = first_o < f32(s_valid)
     k_first = (f32(s_valid) - 1.0 - first_o) if flip else first_o
     packed = jnp.where(hit_i, k_first + 0.5, -1.0).reshape(-1)
     return packed, tuple(v.reshape(-1) for v in vals)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "s_valid", "a_size", "b_size",
+                     "inter_h", "inter_w", "flip", "nf"),
+)
+def _volume_sweep(det_bf, cats, scal, n_chunks: int, s_valid: int,
+                  a_size: int, b_size: int, inter_h: int, inter_w: int,
+                  flip: bool, nf: Tuple[int, ...]):
+    """One fused program: detection sweep + pack (single-device path)."""
+    first_o, vals = _volume_sweep_core(
+        det_bf, cats, scal, n_chunks, s_valid, a_size, b_size,
+        inter_h, inter_w, flip, nf)
+    return _pack_volume_first_o(first_o, vals, s_valid, flip)
 
 
 # --------------------------------------------------------------------------
@@ -492,24 +514,18 @@ def _volume_frame(det_bf, cats, scal, time_value, n_chunks, s_valid,
 _SCAL_EXT = 49   # 43..45 box_min, 46..48 box_max
 
 
-def render_volume_frame(
+def _volume_frame_inputs(
     scene: VolumeSweepScene,
     grid_origin,
     camera_pos,
     view,
     fov_deg: float,
     aspect: float,
-    width: int,
-    height: int,
-    time_value: float = 0.0,
     inter_h: Optional[int] = None,
     inter_w: Optional[int] = None,
-) -> dict:
-    """Sweep-space volume raymarch frame.
-
-    Returns dict(color f32[H,W,4], depth, normal, alpha) — the
-    raymarch_volume output contract for the fields the app consumes.
-    """
+):
+    """Host-side frame setup shared by the single-device and segmented
+    paths: sweep geometry, sticky table dims, layouts, packed scalars."""
     det = scene.det
     axis_world, flip, (S, A, B), eyes, window, crop_lo = _sweep_geometry(
         det, grid_origin, scene.voxel_size, camera_pos, view)
@@ -537,7 +553,34 @@ def render_volume_frame(
     scal_np[43:46] = scene.box_min
     scal_np[46:49] = scene.box_max
     nf = tuple(len(ch) for ch in scene.bundles)
+    meta = dict(axis_world=axis_world, flip=bool(flip), S=S, A=A, B=B,
+                inter_h=inter_h, inter_w=inter_w, nf=nf)
+    return det_bf, cats, scal_np, meta
+
+
+def render_volume_frame(
+    scene: VolumeSweepScene,
+    grid_origin,
+    camera_pos,
+    view,
+    fov_deg: float,
+    aspect: float,
+    width: int,
+    height: int,
+    time_value: float = 0.0,
+    inter_h: Optional[int] = None,
+    inter_w: Optional[int] = None,
+) -> dict:
+    """Sweep-space volume raymarch frame.
+
+    Returns dict(color f32[H,W,4], depth, normal, alpha) — the
+    raymarch_volume output contract for the fields the app consumes.
+    """
+    det_bf, cats, scal_np, m = _volume_frame_inputs(
+        scene, grid_origin, camera_pos, view, fov_deg, aspect,
+        inter_h, inter_w)
     return _volume_frame(
         det_bf, tuple(cats), jnp.asarray(scal_np), jnp.asarray(time_value, f32),
-        det_bf.shape[0] // 32, S, A, B, inter_h, inter_w, bool(flip),
-        axis_world, width, height, nf)
+        det_bf.shape[0] // 32, m["S"], m["A"], m["B"],
+        m["inter_h"], m["inter_w"], m["flip"],
+        m["axis_world"], width, height, m["nf"])

@@ -212,3 +212,37 @@ def test_pipelined_frames_match_per_frame():
             light_dir=(-0.5, -0.9, -0.4), inter_h=128, inter_w=128,
         )
         np.testing.assert_allclose(np.asarray(f), np.asarray(ref), atol=1e-5)
+
+
+def test_volume_frame_segmented_matches_single():
+    """VOLUME_RAYCAST fast frame slab-segmented over 8 devices == the
+    single-device render_volume_frame (SP analog of SURVEY §2.8)."""
+    from jax.sharding import Mesh
+    from ray_tracing_octrees_tpu.models.volume_raycaster import (
+        VolumeRaycastRenderer,
+    )
+    from ray_tracing_octrees_tpu.parallel.sharding import (
+        volume_frame_segmented,
+    )
+    from ray_tracing_octrees_tpu.trace.raymarch_sweep import (
+        prepare_volume_scene, render_volume_frame,
+    )
+
+    g = make_sphere_grid(32)
+    r = VolumeRaycastRenderer().init(g)
+    scene = prepare_volume_scene(r.textures, float(g.voxel_size))
+    cam = Camera(theta=0.5, phi=0.8, radius=2.2)
+    W = H = 64
+    ref = render_volume_frame(
+        scene, g.origin, cam.get_pos(), cam.get_view(), 45.0, 1.0, W, H,
+        time_value=0.25)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))
+    out = volume_frame_segmented(
+        mesh, scene, g.origin, cam.get_pos(), cam.get_view(), 45.0, 1.0,
+        W, H, time_value=0.25)
+    for k in ("color", "depth", "normal", "alpha"):
+        if k in ref:
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), atol=1e-5,
+                err_msg=k)
+    assert np.asarray(out["color"])[..., :3].max() > 0
