@@ -510,7 +510,9 @@ def dilate_occupancy(volume, radius: int = SEED_DILATION):
         window_dimensions=(k, k, k), window_strides=(1, 1, 1),
         padding="SAME",
     )
-    return dil.astype(jnp.float32)
+    # bf16 halves the persistent footprint (518^3 at the Calgary root);
+    # 0/1 is exact and the sweep layout upcasts/re-quantizes anyway
+    return dil.astype(jnp.bfloat16)
 
 
 def sweep_seed(
