@@ -70,6 +70,11 @@ class RayTraceConfig:
     light_dir: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
     base_color: Tuple[float, float, float] = (1.0, 0.8, 0.6)
     ambient: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    # exact-tracer accelerations (outputs unchanged up to the documented
+    # nudge-epsilon grazing class; see trace/octree_trace.py)
+    exact_ladder: bool = True            # wavefront compaction ladder
+    exact_seed: bool = True              # conservative sweep seeds
+    exact_ball_skip: bool = False        # Chebyshev empty-ball skipping
 
 
 @dataclasses.dataclass(frozen=True)

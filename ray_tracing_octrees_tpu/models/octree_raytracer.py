@@ -306,7 +306,7 @@ class OctreeRayTracer:
         lv = self._ensure_leaf_vol() if pyr is self.pyramid else None
         seed_live = seed_t = None
         ladder = ()
-        if lv is not None:
+        if lv is not None and rt.exact_seed:
             from ray_tracing_octrees_tpu.trace.slab_sweep import sweep_seed
 
             live, ts, ext = sweep_seed(
@@ -316,6 +316,7 @@ class OctreeRayTracer:
             )
             if ext:
                 seed_live, seed_t = live, ts
+        if lv is not None and rt.exact_ladder:
             n_rays = width * height
             ladder = ((4, max(256, n_rays // 4)),
                       (8, max(128, n_rays // 16)))
@@ -335,6 +336,7 @@ class OctreeRayTracer:
             max_steps=rt.max_traversal_steps,
             shadows=shadows,
             leaf_vol=lv,
+            ball_skip=bool(lv is not None and rt.exact_ball_skip),
             ladder=ladder,
             seed_live=seed_live,
             seed_t=seed_t,

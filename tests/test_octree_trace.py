@@ -429,3 +429,23 @@ def test_seeded_trace_matches_plain(rng, pose):
     np.testing.assert_array_equal(np.asarray(res["t"]), np.asarray(ref["t"]))
     np.testing.assert_array_equal(
         np.asarray(res["normal"]), np.asarray(ref["normal"]))
+
+
+def test_model_exact_render_equals_plain_image():
+    """OctreeRayTracer.render(fast=False) — with its leaf volume, ladder
+    and seeds active — equals the plain pyramid render_octree_image."""
+    grid = make_sphere_grid(32)
+    tracer = OctreeRayTracer()
+    tracer.set_octree(grid)
+    cam = Camera(theta=0.3, phi=0.7, radius=2.0)
+    img = np.asarray(tracer.render(cam, 64, 64, aspect=1.0, shadows=True))
+    ref = np.asarray(render_octree_image(
+        build_pyramid(grid.occ), grid.origin, grid.voxel_size,
+        jnp.asarray(cam.get_pos(), jnp.float32),
+        jnp.asarray(cam.get_view(), jnp.float32),
+        64, 64, jnp.float32(45.0), jnp.float32(1.0), shadows=True))
+    # identical hits; colors to 1 ulp (FMA/fusion differs between the two
+    # compiled programs, so exact bitwise equality is not guaranteed)
+    np.testing.assert_array_equal(
+        img[..., :3].max(-1) > 0, ref[..., :3].max(-1) > 0)
+    np.testing.assert_allclose(img, ref, atol=1e-6)
