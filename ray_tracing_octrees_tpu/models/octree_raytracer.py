@@ -72,6 +72,7 @@ def render_octree_image(
     ladder: tuple = (),
     seed_live=None,   # bool[H*W] from slab_sweep.sweep_seed (primary only)
     seed_t=None,      # f32[H*W]
+    shadow_live_vol=None,  # bool[Z+2r,...] from slab_sweep.light_blocked_volume
 ):
     """Full frame: ray gen -> stackless octree trace -> Lambert shade.
 
@@ -121,7 +122,32 @@ def render_octree_image(
             # is unchanged (occluded is ANDed with the primary hit).
             shadow_o = jnp.where(
                 res["hit"][:, None], shadow_o, shadow_d * jnp.float32(3e7))
-            sres = trace(shadow_o, shadow_d)
+            s_live = None
+            if shadow_live_vol is not None:
+                # conservative light-occludability prune: a False flag at
+                # the shadow origin's voxel PROVES no solid toward the
+                # light (slab_sweep.light_blocked_volume); out-of-bounds
+                # origins stay live. Correctness unaffected — the flag
+                # only kills provably-miss rays.
+                from ray_tracing_octrees_tpu.trace.slab_sweep import (
+                    SEED_DILATION,
+                )
+
+                vs = jnp.asarray(voxel_size, jnp.float32)
+                origin_p = (jnp.asarray(grid_origin, jnp.float32)
+                            - jnp.float32(SEED_DILATION) * vs)
+                v = jnp.floor(
+                    (shadow_o - origin_p[None, :]) / vs).astype(jnp.int32)
+                dzv, dyv, dxv = shadow_live_vol.shape
+                inb = (
+                    (v[:, 0] >= 0) & (v[:, 1] >= 0) & (v[:, 2] >= 0)
+                    & (v[:, 0] < dxv) & (v[:, 1] < dyv) & (v[:, 2] < dzv)
+                )
+                vc = jnp.clip(v, 0, jnp.asarray(
+                    [dxv - 1, dyv - 1, dzv - 1], jnp.int32))
+                flag = shadow_live_vol[vc[:, 2], vc[:, 1], vc[:, 0]]
+                s_live = jnp.where(inb, flag, True) & res["hit"]
+            sres = trace(shadow_o, shadow_d, s_live)
             occluded = sres["hit"] & res["hit"]
             amb = jnp.asarray(ambient, jnp.float32)
             color = jnp.where(
@@ -197,6 +223,7 @@ class OctreeRayTracer:
         self._fast_shadow = None
         self._leaf_vol = None
         self._seed_vol = None
+        self._shadow_blk = None
 
     def _ensure_leaf_vol(self):
         """Packed per-voxel leaf descriptors for the one-gather exact
@@ -217,6 +244,18 @@ class OctreeRayTracer:
             self._seed_vol = dilate_occupancy(
                 (self.pyramid.code_levels[0] > 0).astype(jnp.float32))
         return self._seed_vol
+
+    def _ensure_shadow_blk(self):
+        """Conservative light-occludability volume for shadow pruning."""
+        if getattr(self, "_shadow_blk", None) is None:
+            from ray_tracing_octrees_tpu.trace.slab_sweep import (
+                light_blocked_volume,
+            )
+
+            to_light = tuple(-c for c in self.config.raytrace.light_dir)
+            self._shadow_blk = light_blocked_volume(
+                self._ensure_seed_vol(), to_light)
+        return self._shadow_blk
 
     def _ensure_fast(self):
         if self._fast_vol is None:
@@ -340,6 +379,9 @@ class OctreeRayTracer:
             ladder=ladder,
             seed_live=seed_live,
             seed_t=seed_t,
+            shadow_live_vol=(
+                self._ensure_shadow_blk()
+                if (lv is not None and shadows and rt.exact_seed) else None),
         )
 
 

@@ -515,6 +515,61 @@ def dilate_occupancy(volume, radius: int = SEED_DILATION):
     return dil.astype(jnp.bfloat16)
 
 
+@functools.partial(jax.jit, static_argnames=("to_light", "doublings"))
+def light_blocked_volume(volume_dilated, to_light: tuple,
+                         doublings: int = 10):
+    """Conservative per-voxel "any solid toward the light" flag.
+
+    bool[Z+2r, Y+2r, X+2r] over dilate_occupancy's padded cube: False
+    PROVES that a ray from anywhere in the voxel toward ``to_light``
+    crosses no solid voxel — the exact frame's shadow rays die at step 0
+    there (the flag is ANDed into the shadow trace's live mask; True just
+    means "trace it").
+
+    Construction: directional doubling. B_0 = the radius-3 dilated
+    occupancy; B_{k+1} = maxpool3(B_k) | shift(maxpool3(B_k),
+    round(2^k * step)) with step = -to_light normalized to max-axis 1.
+    The per-step 3^3 dilation absorbs both the fractional-shift rounding
+    (<= 0.5/axis) and the within-step lateral path (covered inductively),
+    so the union over t in [0, 2^K] of the swept dilated occupancy is a
+    subset of B_K — conservative by induction. Over-dilation grows ~1
+    voxel per doubling, costing only false "maybe occluded" flags.
+    """
+    d = -np.asarray(to_light, np.float64)
+    d = d / max(np.max(np.abs(d)), 1e-12)
+    step_xyz = d  # voxels per unit step along the dominant axis
+    B = jnp.asarray(volume_dilated) > 0
+
+    def shift3(a, off_zyx):
+        out = a
+        for ax, off in enumerate(off_zyx):
+            if off == 0:
+                continue
+            pad = [(0, 0)] * 3
+            if off > 0:
+                pad[ax] = (off, 0)
+                sl = [slice(None)] * 3
+                sl[ax] = slice(0, a.shape[ax])
+            else:
+                pad[ax] = (0, -off)
+                sl = [slice(None)] * 3
+                sl[ax] = slice(-off, a.shape[ax] - off)
+            out = jnp.pad(out, pad, constant_values=False)[tuple(sl)]
+        return out
+
+    for k in range(doublings):
+        B = jax.lax.reduce_window(
+            B, False, jax.lax.bitwise_or,
+            window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+        off = np.rint((2.0 ** k) * step_xyz).astype(np.int64)
+        # shift B by -offset: a voxel reads the region the ray REACHES
+        # (x is occludable if x + 2^k*step is in B), zyx order
+        B = B | shift3(B, (-int(off[2]), -int(off[1]), -int(off[0])))
+    return B
+
+
 def sweep_seed(
     volume_dilated,   # f32[Z+6, Y+6, X+6] from dilate_occupancy(occ)
     grid_origin,      # of the ORIGINAL grid; the pad shift happens here

@@ -449,3 +449,50 @@ def test_model_exact_render_equals_plain_image():
     np.testing.assert_array_equal(
         img[..., :3].max(-1) > 0, ref[..., :3].max(-1) > 0)
     np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+def test_shadow_prune_volume_conservative(rng):
+    """light_blocked_volume: a False flag proves the shadow ray misses;
+    the pruned frame equals the unpruned frame."""
+    from ray_tracing_octrees_tpu.core.octree import build_leaf_volume
+    from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree_fast
+    from ray_tracing_octrees_tpu.trace.slab_sweep import (
+        SEED_DILATION, dilate_occupancy, light_blocked_volume,
+    )
+
+    occ = np.zeros((48, 48, 48), np.uint8)
+    occ[6:10, 6:30, 6:30] = (rng.random((4, 24, 24)) < 0.3)
+    grid = VoxelGrid.create(occ, origin=(-0.5, -0.5, -0.5), voxel_size=1 / 48)
+    pyr = build_pyramid(grid.occ)
+    lv = build_leaf_volume(pyr)
+    dil = dilate_occupancy((jnp.asarray(occ) > 0).astype(jnp.float32))
+    to_light = (0.5, 0.9, 0.4)
+    blk = light_blocked_volume(dil, to_light, doublings=7)
+
+    # every empty padded voxel with flag False must have NO solid toward
+    # the light: verify with the exact tracer from voxel centers
+    blk_np = np.asarray(blk)
+    origin_p = np.asarray(grid.origin) - SEED_DILATION * float(grid.voxel_size)
+    free = np.argwhere(~blk_np)
+    assert len(free) > 0, "over-dilation left no provably-free voxels"
+    sel = free[:: max(1, len(free) // 512)]
+    centers = origin_p[None, :] + (sel[:, ::-1] + 0.5) * float(grid.voxel_size)
+    l = np.asarray(to_light, np.float64)
+    d = np.broadcast_to(l / np.linalg.norm(l), centers.shape)
+    res = trace_octree_fast(
+        lv, jnp.asarray(centers, jnp.float32), jnp.asarray(d, jnp.float32),
+        grid.origin, grid.voxel_size)
+    assert not np.asarray(res["hit"]).any(), "flag=False voxel can be occluded"
+
+    # end-to-end: pruned == unpruned frame
+    cam = Camera(theta=0.5, phi=0.8, radius=2.3)
+    args = (pyr, grid.origin, grid.voxel_size,
+            jnp.asarray(cam.get_pos(), jnp.float32),
+            jnp.asarray(cam.get_view(), jnp.float32),
+            64, 64, jnp.float32(45.0), jnp.float32(1.0))
+    a = render_octree_image(*args, shadows=True, leaf_vol=lv,
+                            light_dir=tuple(-c for c in to_light))
+    b = render_octree_image(*args, shadows=True, leaf_vol=lv,
+                            light_dir=tuple(-c for c in to_light),
+                            shadow_live_vol=blk)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -30,8 +30,12 @@ from ray_tracing_octrees_tpu.render.camera import Camera, generate_rays
 from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree_fast
 from ray_tracing_octrees_tpu.trace.slab_sweep import (
     dilate_occupancy,
+    light_blocked_volume,
     sweep_seed,
 )
+
+TO_LIGHT = (0.5, 0.9, 0.4)
+LIGHT_DIR = tuple(-c for c in TO_LIGHT)
 
 
 def main():
@@ -49,6 +53,10 @@ def main():
     vol = (jnp.asarray(g.occ) > 0).astype(jnp.float32)
     dil = jax.block_until_ready(dilate_occupancy(vol))
     print(f"dilated {dil.shape} {time.perf_counter()-t0:.2f}s", flush=True)
+    t0 = time.perf_counter()
+    blk = jax.block_until_ready(light_blocked_volume(dil, TO_LIGHT))
+    print(f"light_blocked {time.perf_counter()-t0:.2f}s "
+          f"(maybe-occluded {float(jnp.mean(blk)):.3f})", flush=True)
 
     extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
     center = np.asarray(building_center(g))
@@ -107,8 +115,9 @@ def main():
             jnp.asarray(cam.get_pos(), jnp.float32),
             jnp.asarray(cam.get_view(), jnp.float32),
             W, H, jnp.float32(45.0), jnp.float32(aspect), shadows=True,
-            leaf_vol=lv, ball_skip=True, ladder=lad,
-            seed_live=live if ext else None, seed_t=ts if ext else None)
+            leaf_vol=lv, ball_skip=True, ladder=lad, light_dir=LIGHT_DIR,
+            seed_live=live if ext else None, seed_t=ts if ext else None,
+            shadow_live_vol=blk)
 
     dt = bench("frame primary+shadow", full_frame)
     print(f"exact_tracer_mrays (x2 rays): {2*n/dt/1e6:.2f}", flush=True)
