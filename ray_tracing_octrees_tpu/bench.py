@@ -171,13 +171,15 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         # provably-empty lead space skipped) + compaction ladder.
         from ray_tracing_octrees_tpu.trace.slab_sweep import (
             dilate_occupancy,
-            light_blocked_volume,
             sweep_seed,
         )
 
         lv = jax.block_until_ready(build_leaf_volume(pyr))
         dil = jax.block_until_ready(dilate_occupancy(vol))
-        blk = jax.block_until_ready(light_blocked_volume(dil, to_light))
+        # shadow prune disabled: with the shallow city light ~99% of
+        # voxels legitimately see solid toward it (zero rays pruned,
+        # measured), so the flag gather is pure overhead here
+        blk = None
         # 960x540 default amortizes the per-frame sweeps without risking a
         # cold full-1080p compile inside the driver's bench window;
         # override with RTO_BENCH_EXACT_RES=WxH.

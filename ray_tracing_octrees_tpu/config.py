@@ -75,6 +75,10 @@ class RayTraceConfig:
     exact_ladder: bool = True            # wavefront compaction ladder
     exact_seed: bool = True              # conservative sweep seeds
     exact_ball_skip: bool = False        # Chebyshev empty-ball skipping
+    # light-occludability shadow prune: pays only for elevated lights /
+    # sparse scenes (Calgary + the default shallow light legitimately
+    # flags ~99% of voxels "maybe occluded" — zero rays pruned)
+    exact_shadow_prune: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -381,7 +381,8 @@ class OctreeRayTracer:
             seed_t=seed_t,
             shadow_live_vol=(
                 self._ensure_shadow_blk()
-                if (lv is not None and shadows and rt.exact_seed) else None),
+                if (lv is not None and shadows and rt.exact_shadow_prune)
+                else None),
         )
 
 

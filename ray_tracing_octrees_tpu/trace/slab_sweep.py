@@ -524,7 +524,10 @@ def light_blocked_volume(volume_dilated, to_light: tuple,
     PROVES that a ray from anywhere in the voxel toward ``to_light``
     crosses no solid voxel — the exact frame's shadow rays die at step 0
     there (the flag is ANDed into the shadow trace's live mask; True just
-    means "trace it").
+    means "trace it"). Pays for elevated lights / sparse scenes only: a
+    shallow light over a city flags ~99% of voxels "maybe occluded"
+    (measured on Calgary — zero rays pruned), so it is opt-in
+    (config.raytrace.exact_shadow_prune).
 
     Construction: directional doubling. B_0 = the radius-3 dilated
     occupancy; B_{k+1} = maxpool3(B_k) | shift(maxpool3(B_k),

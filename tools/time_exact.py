@@ -117,7 +117,7 @@ def main():
             W, H, jnp.float32(45.0), jnp.float32(aspect), shadows=True,
             leaf_vol=lv, ball_skip=True, ladder=lad, light_dir=LIGHT_DIR,
             seed_live=live if ext else None, seed_t=ts if ext else None,
-            shadow_live_vol=blk)
+            shadow_live_vol=None)  # prune off: zero rays pruned on Calgary
 
     dt = bench("frame primary+shadow", full_frame)
     print(f"exact_tracer_mrays (x2 rays): {2*n/dt/1e6:.2f}", flush=True)
