@@ -186,7 +186,9 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         res = os.environ.get("RTO_BENCH_EXACT_RES", "960x540")
         sw, sh_ = (int(x) for x in res.split("x"))
         n_rays = sw * sh_
-        lad = ((4, n_rays // 4), (8, n_rays // 16), (8, n_rays // 64))
+        # (0, N/2): compact on the seed mask BEFORE stepping — ~60%+ of
+        # rays are provably dead at step 0 on exterior poses
+        lad = ((0, n_rays // 2), (4, n_rays // 8), (8, n_rays // 32))
 
         def f():
             live, ts, ext = sweep_seed(

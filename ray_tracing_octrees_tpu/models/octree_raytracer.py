@@ -357,8 +357,9 @@ class OctreeRayTracer:
                 seed_live, seed_t = live, ts
         if lv is not None and rt.exact_ladder:
             n_rays = width * height
-            ladder = ((4, max(256, n_rays // 4)),
-                      (8, max(128, n_rays // 16)))
+            ladder = ((0, max(512, n_rays // 2)),
+                      (4, max(256, n_rays // 8)),
+                      (8, max(128, n_rays // 32)))
         return render_octree_image(
             pyr,
             self.grid_origin,

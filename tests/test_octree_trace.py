@@ -374,7 +374,8 @@ def test_trace_fast_ladder_bit_matches(rng, ball):
     ref = trace_octree_fast(lv, oj, dj, grid.origin, grid.voxel_size,
                             ball_skip=ball)
     # tiny caps force overflow through the cleanup loop too
-    for ladder in (((4, 128), (6, 32)), ((2, 8),), ((1, 1), (1, 1))):
+    for ladder in (((4, 128), (6, 32)), ((2, 8),), ((1, 1), (1, 1)),
+                   ((0, 256), (4, 64), (8, 16))):
         res = trace_octree_fast(lv, oj, dj, grid.origin, grid.voxel_size,
                                 ball_skip=ball, ladder=ladder)
         for k in ("hit", "t", "normal", "steps"):

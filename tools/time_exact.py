@@ -61,7 +61,7 @@ def main():
     extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
     center = np.asarray(building_center(g))
     n = W * H
-    lad = ((4, n // 4), (8, n // 16), (8, n // 64))
+    lad = ((0, n // 2), (4, n // 8), (8, n // 32))
 
     def pose(i):
         cam = Camera(theta=0.9 + 1e-4 * i, phi=0.8, radius=0.75 * extent)
