@@ -151,3 +151,27 @@ def test_reference_scene_cache_loads_if_present():
     np.testing.assert_allclose(np.asarray(g.origin), [-2125.0, -1215.0, -150.0])
     assert np.isclose(float(g.voxel_size), 10.0)
     assert int(np.asarray(g.occ).sum()) > 0
+
+
+def test_host_fetch_roundtrips_all_dtypes():
+    """host_fetch (the aligned-repack device->host path every warm-path
+    pull rides) must be value-exact for every dtype it accepts, at
+    unaligned shapes."""
+    import jax.numpy as jnp
+    from ray_tracing_octrees_tpu.core.grid import host_fetch
+
+    rng = np.random.default_rng(11)
+    for arr in (
+        rng.random((29, 243, 5)).astype(np.float32),
+        (rng.random((348409,)) < 0.5),
+        rng.integers(0, 255, (1013,)).astype(np.uint8),
+        rng.integers(-2**31, 2**31 - 1, (777, 3)).astype(np.int32),
+        rng.random((129,)).astype(np.float32).astype(jnp.bfloat16),
+    ):
+        dev = jnp.asarray(arr)
+        out = host_fetch(dev)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(dev, out.dtype))
+    # numpy passthrough
+    a = np.arange(5)
+    assert host_fetch(a) is a
