@@ -82,6 +82,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.parse_csv.restype = ctypes.c_longlong
+        lib.parse_csv.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+        ]
+        lib.assemble_triangles.restype = ctypes.c_longlong
+        lib.assemble_triangles.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return lib
 
@@ -113,6 +124,43 @@ def voxelize_triangles(tri_verts: np.ndarray, voxel_size: float):
         jnp.asarray(occ.reshape(dz, dy, dx)), origin=(lo[0], lo[1], lo[2]),
         voxel_size=vs,
     )
+
+
+def parse_csv_file(path: str, min_tokens: int, n_numeric: int) -> np.ndarray:
+    """Native tolerant CSV parse (loadCSVVertices/loadCSVFaces semantics);
+    float64[rows, n_numeric]. Two-call protocol (count, then fill)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    n = lib.parse_csv(path.encode(), min_tokens, n_numeric,
+                      None, 0)
+    if n < 0:
+        raise IOError(f"cannot read CSV: {path}")
+    out = np.zeros((int(n), n_numeric), np.float64)
+    n2 = lib.parse_csv(
+        path.encode(), min_tokens, n_numeric,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n)
+    return out[: int(n2)]
+
+
+def assemble_triangles_native(verts: np.ndarray, faces: np.ndarray):
+    """Native (mesh#, vertex#) face resolution; same drop rules as
+    ingest.csv_loader.assemble_triangles. Returns (tris f32[K,3,3],
+    kept bool[M])."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime unavailable")
+    v = np.ascontiguousarray(verts, np.float64)
+    f = np.ascontiguousarray(faces, np.float64)
+    tris = np.zeros((f.shape[0], 3, 3), np.float32)
+    kept = np.zeros(f.shape[0], np.uint8)
+    k = lib.assemble_triangles(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), v.shape[0],
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), f.shape[0],
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        kept.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return tris[: int(k)], kept.astype(bool)
 
 
 def save_grid(path: str, grid) -> bool:

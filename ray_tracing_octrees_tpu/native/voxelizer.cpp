@@ -1,16 +1,22 @@
-// Native ingest runtime: OpenMP triangle voxelization + binary grid cache IO.
+// Native ingest runtime: CSV parsing, OpenMP triangle voxelization, and
+// binary grid cache IO.
 //
 // The TPU framework keeps its compute path in XLA/Pallas; this module is the
-// native equivalent of the reference's CPU-side runtime — the OpenMP
-// voxelizer of BuildingLoader.cpp:231-287 and the cache serializer of
-// CacheUtils.cpp — exposed through a plain C ABI for ctypes.
+// native equivalent of the reference's CPU-side runtime — the CSV loaders of
+// BuildingLoader.cpp:10-129, the OpenMP voxelizer of
+// BuildingLoader.cpp:231-287, and the cache serializer of CacheUtils.cpp —
+// exposed through a plain C ABI for ctypes.
 
 #include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
 
 extern "C" {
 
@@ -141,6 +147,122 @@ int load_voxel_grid_slab(const char* path, int start_layer, int num_layers,
   size_t got = std::fread(out, 1, want, f);
   std::fclose(f);
   return got == want ? 1 : 0;
+}
+
+// --------------------------------------------------------------------------
+// CSV ingest (loadCSVVertices / loadCSVFaces, BuildingLoader.cpp:10-129):
+// skip the header line, trim tokens, require >= min_tokens per row, parse
+// the first n_numeric tokens as doubles, recover per line on malformed
+// numbers — same tolerant semantics as ingest/csv_loader.py.
+// Two-call protocol: out == nullptr counts rows; second call fills
+// out[rows * n_numeric]. Returns the row count, or -1 on IO error.
+long long parse_csv(const char* path, int min_tokens, int n_numeric,
+                    double* out, long long cap) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::string line;
+  line.reserve(512);
+  long long rows = 0;
+  bool header = true;
+  std::vector<double> vals((size_t)n_numeric);
+  int c;
+  bool eof = false;
+  while (!eof) {
+    line.clear();
+    for (;;) {
+      c = std::fgetc(f);
+      if (c == EOF) { eof = true; break; }
+      if (c == '\n') break;
+      line.push_back((char)c);
+    }
+    if (header) { header = false; continue; }
+    // strip
+    size_t b = line.find_first_not_of(" \t\r\n");
+    if (b == std::string::npos) continue;
+    size_t e = line.find_last_not_of(" \t\r\n");
+    line = line.substr(b, e - b + 1);
+    if (line.empty()) continue;
+    // split on ',', trim tokens
+    int n_tokens = 0;
+    bool ok = true;
+    size_t pos = 0;
+    int filled = 0;
+    while (pos <= line.size()) {
+      size_t comma = line.find(',', pos);
+      size_t end = (comma == std::string::npos) ? line.size() : comma;
+      size_t tb = pos;
+      while (tb < end && (line[tb] == ' ' || line[tb] == '\t')) ++tb;
+      size_t te = end;
+      while (te > tb && (line[te - 1] == ' ' || line[te - 1] == '\t')) --te;
+      if (filled < n_numeric) {
+        if (tb == te) { ok = false; }
+        else {
+          std::string tok = line.substr(tb, te - tb);
+          // strtod accepts hex floats; Python's float() does not
+          if (tok.find('x') != std::string::npos ||
+              tok.find('X') != std::string::npos) { ok = false; }
+          else {
+            char* endp = nullptr;
+            double v = std::strtod(tok.c_str(), &endp);
+            if (endp != tok.c_str() + tok.size()) ok = false;
+            else vals[(size_t)filled] = v;
+          }
+        }
+        ++filled;
+      }
+      ++n_tokens;
+      if (comma == std::string::npos) break;
+      pos = comma + 1;
+    }
+    if (n_tokens < min_tokens || filled < n_numeric || !ok) continue;
+    if (out) {
+      if (rows >= cap) break;
+      std::memcpy(out + rows * n_numeric, vals.data(),
+                  sizeof(double) * n_numeric);
+    }
+    ++rows;
+  }
+  std::fclose(f);
+  return rows;
+}
+
+// Face assembly (BuildingLoader.cpp:236-245): resolve (mesh#, vertex#)
+// references through a hash map, drop faces with missing vertices. verts
+// are the 8-column rows (mesh#, vertex#, easting, northing, elevation, ...),
+// faces the 4-column rows. tri_out (may be null) holds float32[K, 3, 3];
+// kept (may be null) flags each face. Returns K.
+long long assemble_triangles(const double* verts, long long n_verts,
+                             const double* faces, long long n_faces,
+                             float* tri_out, uint8_t* kept) {
+  std::unordered_map<long long, long long> key;
+  key.reserve((size_t)n_verts * 2);
+  for (long long i = 0; i < n_verts; ++i) {
+    long long m = (long long)verts[i * 8 + 0];
+    long long v = (long long)verts[i * 8 + 1];
+    key[(m << 32) ^ (v & 0xffffffffLL)] = i;  // later rows win, as dict
+  }
+  long long k = 0;
+  for (long long j = 0; j < n_faces; ++j) {
+    long long m = (long long)faces[j * 4 + 0];
+    long long ids[3];
+    bool ok = true;
+    for (int t = 0; t < 3; ++t) {
+      long long v = (long long)faces[j * 4 + 1 + t];
+      auto it = key.find((m << 32) ^ (v & 0xffffffffLL));
+      if (it == key.end()) { ok = false; break; }
+      ids[t] = it->second;
+    }
+    if (kept) kept[j] = ok ? 1 : 0;
+    if (!ok) continue;
+    if (tri_out) {
+      for (int t = 0; t < 3; ++t)
+        for (int cmp = 0; cmp < 3; ++cmp)
+          tri_out[(k * 3 + t) * 3 + cmp] =
+              (float)verts[ids[t] * 8 + 2 + cmp];
+    }
+    ++k;
+  }
+  return k;
 }
 
 }  // extern "C"

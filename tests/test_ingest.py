@@ -119,3 +119,61 @@ def test_native_cache_roundtrip(tmp_path, rng):
     g4 = rt.load_grid(p2, start_layer=2, num_layers=3)
     np.testing.assert_array_equal(np.asarray(g4.occ), occ[2:5])
     np.testing.assert_allclose(np.asarray(g4.origin), [1.0, 2.0, 3.0 + 2 * 0.5])
+
+
+def test_native_csv_matches_python(tmp_path, rng):
+    """Native CSV parse + face assembly == the Python loader, including
+    error recovery and missing-vertex drops."""
+    from ray_tracing_octrees_tpu.native import runtime
+
+    if not runtime.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    vp = tmp_path / "verts.csv"
+    fp = tmp_path / "faces.csv"
+    vp.write_text(VERTS_CSV)
+    fp.write_text(FACES_CSV)
+
+    v_py = load_csv_vertices(str(vp))
+    f_py = load_csv_faces(str(fp))
+    v_nat = runtime.parse_csv_file(str(vp), min_tokens=8, n_numeric=8)
+    f_nat = runtime.parse_csv_file(str(fp), min_tokens=4, n_numeric=4)
+    np.testing.assert_array_equal(v_nat, v_py)
+    np.testing.assert_array_equal(f_nat, f_py)
+
+    tris_py, kept_py = assemble_triangles(v_py, f_py)
+    tris_nat, kept_nat = runtime.assemble_triangles_native(v_nat, f_nat)
+    np.testing.assert_array_equal(kept_nat, kept_py)
+    np.testing.assert_allclose(tris_nat, tris_py.astype(np.float32))
+
+    # a larger randomized corpus: duplicate keys (later row wins), many
+    # meshes, missing references
+    n = 500
+    rows = []
+    for i in range(n):
+        m = int(rng.integers(0, 20))
+        vi = int(rng.integers(0, 40))
+        e, no, el = rng.random(3) * 100
+        rows.append(f"{m}, {vi}, {e:.6f}, {no:.6f}, {el:.6f}, 51.0, -114.0, 0.0")
+    vp2 = tmp_path / "verts2.csv"
+    vp2.write_text("h\n" + "\n".join(rows) + "\n")
+    frs = []
+    for j in range(300):
+        m = int(rng.integers(0, 22))
+        a, b, c = (int(rng.integers(0, 44)) for _ in range(3))
+        frs.append(f"{m}, {a}, {b}, {c}")
+    fp2 = tmp_path / "faces2.csv"
+    fp2.write_text("h\n" + "\n".join(frs) + "\n")
+
+    v_py = load_csv_vertices(str(vp2))
+    f_py = load_csv_faces(str(fp2))
+    v_nat = runtime.parse_csv_file(str(vp2), 8, 8)
+    f_nat = runtime.parse_csv_file(str(fp2), 4, 4)
+    np.testing.assert_array_equal(v_nat, v_py)
+    np.testing.assert_array_equal(f_nat, f_py)
+    tris_py, kept_py = assemble_triangles(v_py, f_py)
+    tris_nat, kept_nat = runtime.assemble_triangles_native(v_nat, f_nat)
+    np.testing.assert_array_equal(kept_nat, kept_py)
+    np.testing.assert_allclose(tris_nat, tris_py.astype(np.float32))
