@@ -181,8 +181,9 @@ def load_csv_into_voxel_grid(
 ) -> Optional[VoxelGrid]:
     """End-to-end CSV -> VoxelGrid (loadCSVDataIntoVoxelGrid).
 
-    Prefers the native C++/OpenMP voxelizer when available; falls back to
-    the NumPy port.
+    Prefers the native C++ runtime for every stage (CSV parse, face
+    assembly, OpenMP voxelization — cross-tested against the Python
+    ports); falls back stage-by-stage when the toolchain is absent.
     """
     from ray_tracing_octrees_tpu.ingest.csv_loader import (
         load_csv_vertices,
@@ -190,19 +191,31 @@ def load_csv_into_voxel_grid(
         assemble_triangles,
     )
 
-    verts = load_csv_vertices(verts_path)
-    faces = load_csv_faces(faces_path)
-    if verts.size == 0 or faces.size == 0:
-        return None
-    tris, _ = assemble_triangles(verts, faces)
-    if tris.size == 0:
-        return None
+    native_rt = None
     if use_native:
         try:
-            from ray_tracing_octrees_tpu.native import runtime as native_rt
+            from ray_tracing_octrees_tpu.native import runtime as _rt
 
-            if native_rt.available():
-                return native_rt.voxelize_triangles(tris, voxel_size)
+            if _rt.available():
+                native_rt = _rt
         except Exception:
             pass
+
+    if native_rt is not None and isinstance(verts_path, str) \
+            and isinstance(faces_path, str):
+        verts = native_rt.parse_csv_file(verts_path, 8, 8)
+        faces = native_rt.parse_csv_file(faces_path, 4, 4)
+    else:
+        verts = load_csv_vertices(verts_path)
+        faces = load_csv_faces(faces_path)
+    if verts.size == 0 or faces.size == 0:
+        return None
+    if native_rt is not None:
+        tris, _ = native_rt.assemble_triangles_native(verts, faces)
+    else:
+        tris, _ = assemble_triangles(verts, faces)
+    if tris.size == 0:
+        return None
+    if native_rt is not None:
+        return native_rt.voxelize_triangles(tris, voxel_size)
     return voxelize_triangles(tris, voxel_size)

@@ -177,3 +177,21 @@ def test_native_csv_matches_python(tmp_path, rng):
     tris_nat, kept_nat = runtime.assemble_triangles_native(v_nat, f_nat)
     np.testing.assert_array_equal(kept_nat, kept_py)
     np.testing.assert_allclose(tris_nat, tris_py.astype(np.float32))
+
+
+def test_load_csv_into_voxel_grid_native_matches_python(tmp_path):
+    """End-to-end CSV -> grid: all-native pipeline == all-Python pipeline."""
+    from ray_tracing_octrees_tpu.ingest.voxelize import load_csv_into_voxel_grid
+
+    vp = tmp_path / "verts.csv"
+    fp = tmp_path / "faces.csv"
+    vp.write_text(VERTS_CSV)
+    fp.write_text(FACES_CSV)
+    g_py = load_csv_into_voxel_grid(str(vp), str(fp), voxel_size=1.0,
+                                    use_native=False)
+    g_nat = load_csv_into_voxel_grid(str(vp), str(fp), voxel_size=1.0,
+                                     use_native=True)
+    assert g_py is not None and g_nat is not None
+    np.testing.assert_array_equal(np.asarray(g_nat.occ), np.asarray(g_py.occ))
+    np.testing.assert_allclose(np.asarray(g_nat.origin),
+                               np.asarray(g_py.origin), atol=1e-5)
