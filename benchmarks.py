@@ -117,12 +117,19 @@ def config3():
     t0 = time.perf_counter()
     verts, normals, count = adaptive_dual_contouring(g, tree)
     dt = time.perf_counter() - t0
+    # warm pass: programs compiled, caches primed — the steady-state
+    # per-pose extraction cost (VERDICT r2 task 6 target: < 2 s)
+    t0 = time.perf_counter()
+    verts2, _, count2 = adaptive_dual_contouring(g, tree)
+    dt_warm = time.perf_counter() - t0
+    assert int(count2) == int(count)
     _emit(
         config="calgary_adaptive_dc_qef",
         triangles=int(count),
         octree_nodes=tree.num_nodes,
         extract_ms=round(dt * 1e3, 1),
-        tris_per_s=round(int(count) / dt, 1),
+        warm_extract_ms=round(dt_warm * 1e3, 1),
+        tris_per_s=round(int(count) / dt_warm, 1),
     )
 
 
