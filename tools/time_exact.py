@@ -8,8 +8,11 @@ pose per iteration, pipelined enqueues, final forced readback.
 Usage: python tools/time_exact.py [WxH] [iters]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
