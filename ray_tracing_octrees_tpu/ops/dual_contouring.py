@@ -493,6 +493,107 @@ def _pass0_level(grid, tree, ids_j, n_real, node_mask, need_vertex,
     return surf, adj_per_dir, need_vertex
 
 
+@functools.partial(jax.jit, static_argnames=("s", "stride", "qef_cfg"))
+def _pass1_level(grid, tree, vertex, ids_j, s: int, stride: int,
+                 qef_cfg: QEFConfig):
+    """One level of DC pass 1 as a single program: hermite shell scan +
+    QEF dual vertex for every needed leaf of size ``s``.
+
+    ids_j is padded/bucketed; duplicate padding ids scatter identical
+    vertices so the update is idempotent. Jitting the whole level matters
+    on remote-dispatch TPU runtimes: the eager form issued ~100 dispatches
+    per level and dominated the 21.7 s warm Calgary extraction."""
+    pts, nrms, msk = gather_cell_hermite(
+        grid, tree.x[ids_j], tree.y[ids_j], tree.z[ids_j], s, stride
+    )
+    centers = vertex[ids_j]
+    cell_size = (
+        jnp.full((ids_j.shape[0],), s, jnp.float32) * grid.voxel_size
+    )
+    dv = generate_dual_vertex(pts, nrms, msk, centers, cell_size, qef_cfg)
+    return vertex.at[ids_j].set(dv)
+
+
+@functools.partial(jax.jit, static_argnames=("area_eps",))
+def _pass2_level(tree, vertex, ids_j, adj_per_dir, emitted_any,
+                 area_eps: float):
+    """One level of DC pass 2 (createTriangles emission over the 3 edge
+    directions) as a single program.
+
+    Returns (verts_flat [6P*9], normals_flat [6P*3], keep [6P],
+    emitted_any') — flat f32 layouts (a [M,3,3] array tiles to T(4,128)
+    on TPU: 57x the logical bytes)."""
+    n_nodes = tree.num_nodes
+    solid_self = tree.is_solid[ids_j]
+    v_self = vertex[ids_j]
+    leaf_emitted = jnp.zeros(ids_j.shape, bool)
+    vs, ns, ks = [], [], []
+
+    for crossing, adj_info in adj_per_dir:
+        nid1, ok1 = adj_info[0]
+        nid2, ok2 = adj_info[1]
+        nid3, ok3 = adj_info[2]
+        v1 = vertex[jnp.clip(nid1, 0, n_nodes - 1)]
+        v2 = vertex[jnp.clip(nid2, 0, n_nodes - 1)]
+        v3 = vertex[jnp.clip(nid3, 0, n_nodes - 1)]
+
+        cnt = (1 + ok1.astype(jnp.int32) + ok2.astype(jnp.int32)
+               + ok3.astype(jnp.int32))
+        # ordered compaction of [self, v1, v2, v3]
+        second = jnp.where(ok1[:, None], v1, v2)
+        third = jnp.where(ok1[:, None], jnp.where(ok2[:, None], v2, v3), v3)
+        fourth = v3
+
+        def tri(a, b, c, valid):
+            e1 = b - a
+            e2 = c - a
+            cr = jnp.cross(e1, e2)
+            area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+            n = cr / jnp.maximum(
+                jnp.linalg.norm(cr, axis=-1, keepdims=True), 1e-30
+            )
+            n = jnp.where(solid_self[:, None], -n, n)
+            keep = valid & (area > area_eps)
+            return jnp.stack([a, b, c], axis=-2), n, keep
+
+        t1v, t1n, t1k = tri(v_self, second, third, crossing & (cnt >= 3))
+        t2v, t2n, t2k = tri(v_self, third, fourth, crossing & (cnt == 4))
+
+        vs.append(jnp.concatenate([t1v, t2v], 0).reshape(-1))
+        ns.append(jnp.concatenate([t1n, t2n], 0).reshape(-1))
+        ks.append(jnp.concatenate([t1k, t2k], 0))
+        leaf_emitted = leaf_emitted | t1k | t2k
+
+    emitted_any = emitted_any.at[ids_j].max(leaf_emitted, mode="drop")
+    return (
+        jnp.concatenate(vs), jnp.concatenate(ns), jnp.concatenate(ks),
+        emitted_any,
+    )
+
+
+@jax.jit
+def _compact_lists(v_list, n_list, k_list):
+    """Device-side stream compaction of the per-level flat triangle
+    buffers into one contiguous (verts, normals) pair + live count.
+
+    One program for the whole tail (the eager form was ~15 multi-million-
+    element dispatches)."""
+    v_all = jnp.concatenate(v_list)      # [T*9]
+    n_all = jnp.concatenate(n_list)      # [T*3]
+    k_all = jnp.concatenate(k_list)      # [T]
+    cap = k_all.shape[0]
+    slot = jnp.cumsum(k_all) - 1
+    k9 = jnp.repeat(k_all, 9)
+    s9 = jnp.repeat(slot, 9) * 9 + jnp.tile(jnp.arange(9), cap)
+    v_c = jnp.zeros((cap * 9,), jnp.float32).at[
+        jnp.where(k9, s9, cap * 9)].set(v_all, mode="drop")
+    k3 = jnp.repeat(k_all, 3)
+    s3 = jnp.repeat(slot, 3) * 3 + jnp.tile(jnp.arange(3), cap)
+    n_c = jnp.zeros((cap * 3,), jnp.float32).at[
+        jnp.where(k3, s3, cap * 3)].set(n_all, mode="drop")
+    return v_c, n_c, jnp.sum(k_all)
+
+
 def adaptive_dual_contouring(
     grid: VoxelGrid,
     tree,
@@ -569,13 +670,7 @@ def adaptive_dual_contouring(
         stride = (
             dc_cfg.stride_large_cell if s > dc_cfg.stride_switch_size else 1
         )
-        pts, nrms, msk = gather_cell_hermite(
-            grid, tree.x[ids_j], tree.y[ids_j], tree.z[ids_j], s, stride
-        )
-        centers = vertex[ids_j]
-        cell_size = jnp.full((len(ids),), s, jnp.float32) * grid.voxel_size
-        dv = generate_dual_vertex(pts, nrms, msk, centers, cell_size, qef_cfg)
-        vertex = vertex.at[ids_j].set(dv)
+        vertex = _pass1_level(grid, tree, vertex, ids_j, s, stride, qef_cfg)
 
     # ---- pass 2: triangle emission per level -------------------------------------
     out_verts = []
@@ -586,50 +681,12 @@ def adaptive_dual_contouring(
         if k not in adj_ids_by_level:
             continue
         ids_j, surf = surface_by_level[k]
-        solid_self = tree.is_solid[ids_j]
-        v_self = vertex[ids_j]
-        leaf_emitted = jnp.zeros(ids_j.shape, bool)
-
-        for d, (crossing, adj_info) in enumerate(adj_ids_by_level[k]):
-            nid1, ok1 = adj_info[0]
-            nid2, ok2 = adj_info[1]
-            nid3, ok3 = adj_info[2]
-            v1 = vertex[jnp.clip(nid1, 0, n_nodes - 1)]
-            v2 = vertex[jnp.clip(nid2, 0, n_nodes - 1)]
-            v3 = vertex[jnp.clip(nid3, 0, n_nodes - 1)]
-
-            cnt = 1 + ok1.astype(jnp.int32) + ok2.astype(jnp.int32) + ok3.astype(jnp.int32)
-            # ordered compaction of [self, v1, v2, v3]
-            second = jnp.where(ok1[:, None], v1, v2)
-            third = jnp.where(
-                ok1[:, None], jnp.where(ok2[:, None], v2, v3), v3
-            )
-            fourth = v3
-
-            def tri(a, b, c, valid):
-                e1 = b - a
-                e2 = c - a
-                cr = jnp.cross(e1, e2)
-                area = 0.5 * jnp.linalg.norm(cr, axis=-1)
-                n = cr / jnp.maximum(
-                    jnp.linalg.norm(cr, axis=-1, keepdims=True), 1e-30
-                )
-                n = jnp.where(solid_self[:, None], -n, n)
-                keep = valid & (area > dc_cfg.degenerate_area_eps)
-                return jnp.stack([a, b, c], axis=-2), n, keep
-
-            t1v, t1n, t1k = tri(v_self, second, third, crossing & (cnt >= 3))
-            t2v, t2n, t2k = tri(v_self, third, fourth, crossing & (cnt == 4))
-
-            # store FLAT [M*9]/[M*3]: a [M,3,3] f32 array tiles to
-            # T(4,128) on TPU — 57x the logical bytes; flat is 1x
-            out_verts.append(
-                (jnp.concatenate([t1v, t2v], 0).reshape(-1),
-                 jnp.concatenate([t1k, t2k], 0)))
-            out_normals.append(jnp.concatenate([t1n, t2n], 0).reshape(-1))
-            leaf_emitted = leaf_emitted | t1k | t2k[: t1k.shape[0]]
-
-        emitted_any = emitted_any.at[ids_j].max(leaf_emitted, mode="drop")
+        v_flat, n_flat, k_flat, emitted_any = _pass2_level(
+            tree, vertex, ids_j, adj_ids_by_level[k], emitted_any,
+            area_eps=float(dc_cfg.degenerate_area_eps),
+        )
+        out_verts.append((v_flat, k_flat))
+        out_normals.append(n_flat)
 
     # ---- pass 3: boundary face fans (createFaceTriangles fallback) ---------------
     if with_boundary_fans:
@@ -647,20 +704,10 @@ def adaptive_dual_contouring(
     if not out_verts:
         z = _np.zeros((0, 3, 3), _np.float32)
         return jnp.asarray(z), jnp.asarray(z[:, :, 0]), 0
-    v_all = jnp.concatenate([v for v, _ in out_verts])        # [T*9]
-    n_all = jnp.concatenate(out_normals)                      # [T*3]
-    k_all = jnp.concatenate([k for _, k in out_verts])        # [T]
-    cap = k_all.shape[0]
-    slot = jnp.cumsum(k_all) - 1                              # [T]
-    k9 = jnp.repeat(k_all, 9)
-    s9 = jnp.repeat(slot, 9) * 9 + jnp.tile(jnp.arange(9), cap)
-    v_c = jnp.zeros((cap * 9,), jnp.float32).at[
-        jnp.where(k9, s9, cap * 9)].set(v_all, mode="drop")
-    k3 = jnp.repeat(k_all, 3)
-    s3 = jnp.repeat(slot, 3) * 3 + jnp.tile(jnp.arange(3), cap)
-    n_c = jnp.zeros((cap * 3,), jnp.float32).at[
-        jnp.where(k3, s3, cap * 3)].set(n_all, mode="drop")
-    total = int(jnp.sum(k_all))
+    v_c, n_c, total_dev = _compact_lists(
+        [v for v, _ in out_verts], out_normals, [k for _, k in out_verts]
+    )
+    total = int(total_dev)
     verts = host_fetch(v_c)[: total * 9].reshape(-1, 3, 3)
     normals = host_fetch(n_c)[: total * 3].reshape(-1, 3)
     return jnp.asarray(verts), jnp.asarray(normals), total
@@ -679,9 +726,66 @@ def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any,
 
     from ray_tracing_octrees_tpu.core.grid import host_fetch
 
+    fan_verts = []
+    fan_normals = []
+    fan_keep = []
+
+    for k, (ids_j, surf) in surface_by_level.items():
+        s = 1 << k
+        at_boundary = _fan_eligible(grid, tree, ids_j, emitted_any, surf, s)
+        elig_np = host_fetch(at_boundary)
+        sel = _np.nonzero(elig_np)[0].astype(_np.int32)
+        if len(sel) == 0:
+            continue
+        sel, n_real = _pad_pow2(sel, lo=64)
+        ids_lvl = ids_j[jnp.asarray(sel)]
+        eligible = jnp.arange(len(sel)) < n_real
+        v, n, keep = _fan_level(
+            grid, tree, vertex, ids_lvl, eligible, jnp.int32(s),
+            divisions=int(dc_cfg.face_fan_divisions),
+            max_ratio=float(dc_cfg.max_size_ratio),
+        )
+        fan_verts.append(v)
+        fan_normals.append(n)
+        fan_keep.append(keep)
+
+    if not fan_verts:
+        return None, None, None
+    return (
+        jnp.concatenate(fan_verts), jnp.concatenate(fan_normals),
+        jnp.concatenate(fan_keep),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def _fan_eligible(grid, tree, ids_j, emitted_any, surf, s: int):
+    """Fan candidacy per surface leaf: emitted nothing + touches the grid
+    boundary (one program; feeds the host compaction)."""
+    dx, dy, dz = grid.dims_xyz
+    cx, cy, cz = tree.x[ids_j], tree.y[ids_j], tree.z[ids_j]
+    at_boundary = (
+        (cx == 0) | (cy == 0) | (cz == 0)
+        | (cx + s >= dx) | (cy + s >= dy) | (cz + s >= dz)
+    )
+    return surf & (~emitted_any[ids_j]) & at_boundary
+
+
+@functools.partial(jax.jit, static_argnames=("divisions", "max_ratio"))
+def _fan_level(grid, tree, vertex, ids_j, eligible, s,
+               divisions: int, max_ratio: float):
+    """One level of boundary-fan emission as a single program.
+
+    ``s`` is TRACED (it only enters arithmetic), so every level shares one
+    compiled program per id-bucket shape — the eager form issued ~400
+    dispatches per level (192 emits x 2 ops), which dominated the warm
+    extraction on remote-dispatch runtimes.
+
+    Returns flat (verts [E*9], normals [E*3], keep [E]) with
+    E = P * 6 faces * divisions^2 * 8 triangles."""
+    import numpy as _np
+
     dx, dy, dz = grid.dims_xyz
     n_nodes = tree.num_nodes
-    divisions = dc_cfg.face_fan_divisions
 
     fan_verts = []
     fan_normals = []
@@ -697,21 +801,7 @@ def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any,
         2: (_np.array([1, 0, 0], _np.float32), _np.array([0, 1, 0], _np.float32)),
     }
 
-    for k, (ids_j, surf) in surface_by_level.items():
-        s = 1 << k
-        cx, cy, cz = tree.x[ids_j], tree.y[ids_j], tree.z[ids_j]
-        at_boundary = (
-            (cx == 0) | (cy == 0) | (cz == 0)
-            | (cx + s >= dx) | (cy + s >= dy) | (cz + s >= dz)
-        )
-        elig_np = host_fetch(surf & (~emitted_any[ids_j]) & at_boundary)
-        sel = _np.nonzero(elig_np)[0].astype(_np.int32)
-        if len(sel) == 0:
-            continue
-        sel, n_real = _pad_pow2(sel, lo=64)
-        sel_j = jnp.asarray(sel)
-        ids_j = ids_j[sel_j]
-        eligible = jnp.arange(len(sel)) < n_real
+    if True:  # (keeps the reference loop body's indentation readable)
         cx, cy, cz = tree.x[ids_j], tree.y[ids_j], tree.z[ids_j]
         v_self = vertex[ids_j]
         solid_self = tree.is_solid[ids_j]
@@ -731,7 +821,7 @@ def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any,
             found_leaf = (nid >= 0) & tree.is_leaf[nid_c]
             ratio_bad = found_leaf & (
                 jnp.maximum(s, tree.size[nid_c])
-                > jnp.minimum(s, tree.size[nid_c]) * dc_cfg.max_size_ratio
+                > jnp.minimum(s, tree.size[nid_c]) * max_ratio
             )
             # grid-sample fallback at neighbor center (clamped)
             sx = jnp.clip(nx + s // 2, 0, dx - 1)
@@ -798,9 +888,8 @@ def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any,
                     emit(v_nb, p01, p11, -out_normal)
                     emit(v_nb, p00, p01, -out_normal)
 
-    if not fan_verts:
-        return None, None, None
-    v = jnp.concatenate(fan_verts)     # flat [F*9]
-    n = jnp.concatenate(fan_normals)   # flat [F*3]
-    keep = jnp.concatenate(fan_keep)   # [F]
+    # always non-empty: 6 faces x divisions^2 x 8 emits per call
+    v = jnp.concatenate(fan_verts)     # flat [E*9]
+    n = jnp.concatenate(fan_normals)   # flat [E*3]
+    keep = jnp.concatenate(fan_keep)   # [E]
     return v, n, keep
