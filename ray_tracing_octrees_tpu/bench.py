@@ -190,21 +190,28 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         # rays are provably dead at step 0 on exterior poses
         lad = ((0, n_rays // 2), (4, n_rays // 8), (8, n_rays // 32))
 
+        # ONE jitted program for the whole frame: eager raygen/shade/
+        # shadow chains materialize [N,3] intermediates at T(8,128)
+        # tiling (42x the bytes) between every op — under jit they fuse.
+        @jax.jit
+        def _frame(pos, view, live, ts):
+            return render_octree_image(
+                pyr, grid.origin, grid.voxel_size, pos, view,
+                sw, sh_, jnp.float32(45.0), jnp.float32(aspect),
+                shadows=True, leaf_vol=lv, ball_skip=True, ladder=lad,
+                seed_live=live, seed_t=ts,
+                light_dir=light_dir,
+                shadow_live_vol=blk,
+            )
+
         def f():
             live, ts, ext = sweep_seed(
                 dil, grid.origin, grid.voxel_size, cam.get_pos(),
                 cam.get_view(), 45.0, aspect, sw, sh_)
-            return render_octree_image(
-                pyr, grid.origin, grid.voxel_size,
+            return _frame(
                 jnp.asarray(cam.get_pos(), jnp.float32),
                 jnp.asarray(cam.get_view(), jnp.float32),
-                sw, sh_, jnp.float32(45.0), jnp.float32(aspect),
-                shadows=True, leaf_vol=lv, ball_skip=True, ladder=lad,
-                seed_live=live if ext else None,
-                seed_t=ts if ext else None,
-                light_dir=light_dir,
-                shadow_live_vol=blk,
-            )
+                live if ext else None, ts if ext else None)
 
         out = f()
         jax.block_until_ready(out)

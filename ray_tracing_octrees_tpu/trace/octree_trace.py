@@ -236,13 +236,48 @@ def trace_octree_fast(
     S = leaf_vol.shape[0]
     top = int(np.log2(S))
     root_size = jnp.float32(S)
+    n = origins.shape[0]
+    f32 = jnp.float32
+    i32 = jnp.int32
 
-    o = (origins - grid_origin[None, :]) / voxel_size
-    d = directions / voxel_size
-    inv_d = _safe_inv(d)
-    deg = _degenerate_axes(d)
+    # SoA throughout: a trailing size-3 axis tiles to T(8,128) on TPU —
+    # 42x the logical bytes — and the loop-invariant o/d/inv_d plus the
+    # cmin carry were all [N,3], making every DDA step HBM-bound on
+    # padding (measured 7.7 ms/step at 518k rays; per-axis [N] forms are
+    # the same float ops in the same order, so outputs are bit-identical).
+    o3 = tuple((origins[:, a] - grid_origin[a]) / voxel_size
+               for a in range(3))
+    d3 = tuple(directions[:, a] / voxel_size for a in range(3))
 
-    t_root_near, t_root_far = _slab(o, inv_d, deg, jnp.float32(0.0), root_size)
+    def safe_inv3(dv):
+        return tuple(_safe_inv(dv[a]) for a in range(3))
+
+    def deg_axes3(dv):
+        mx = jnp.maximum(jnp.maximum(jnp.abs(dv[0]), jnp.abs(dv[1])),
+                         jnp.abs(dv[2]))
+        return tuple(jnp.abs(dv[a]) <= mx * f32(1e-7) for a in range(3))
+
+    def slab3(o_, inv_, deg_, bmin3, bmax3):
+        """Per-axis _slab: same ops, nested max/min (exact) reductions."""
+        lo = []
+        hi = []
+        for a in range(3):
+            t1 = (bmin3[a] - o_[a]) * inv_[a]
+            t2 = (bmax3[a] - o_[a]) * inv_[a]
+            inside = (o_[a] >= bmin3[a]) & (o_[a] <= bmax3[a])
+            lo.append(jnp.where(deg_[a], jnp.where(inside, -_BIG, _BIG),
+                                jnp.minimum(t1, t2)))
+            hi.append(jnp.where(deg_[a], jnp.where(inside, _BIG, -_BIG),
+                                jnp.maximum(t1, t2)))
+        t_near = jnp.maximum(jnp.maximum(lo[0], lo[1]), lo[2])
+        t_far = jnp.minimum(jnp.minimum(hi[0], hi[1]), hi[2])
+        return t_near, t_far
+
+    inv3 = safe_inv3(d3)
+    deg3 = deg_axes3(d3)
+    zero3 = (f32(0.0),) * 3
+    root3 = (root_size,) * 3
+    t_root_near, t_root_far = slab3(o3, inv3, deg3, zero3, root3)
     alive0 = (t_root_near <= t_root_far) & (t_root_far > 0)
     t0 = jnp.maximum(t_root_near, 0.0)
     # Conservative seeds (slab_sweep.sweep_seed): skip provably-empty
@@ -254,73 +289,77 @@ def trace_octree_fast(
     if live_mask is not None:
         alive0 = alive0 & live_mask
 
-    n = origins.shape[0]
-    f32 = jnp.float32
     eps_t = f32(1e-3) * voxel_size
 
     def nudge(t):
         return t + jnp.maximum(eps_t, jnp.abs(t) * f32(2e-6))
 
-    def find_leaf(p):
-        v = jnp.floor(p).astype(jnp.int32)
+    def find_leaf(p3):
+        v3 = tuple(jnp.floor(p3[a]).astype(i32) for a in range(3))
         inb = (
-            (v[:, 0] >= 0) & (v[:, 1] >= 0) & (v[:, 2] >= 0)
-            & (v[:, 0] < S) & (v[:, 1] < S) & (v[:, 2] < S)
+            (v3[0] >= 0) & (v3[1] >= 0) & (v3[2] >= 0)
+            & (v3[0] < S) & (v3[1] < S) & (v3[2] < S)
         )
-        vc = jnp.clip(v, 0, S - 1)
-        lv = leaf_vol[vc[:, 2], vc[:, 1], vc[:, 0]].astype(jnp.int32)
+        vc = tuple(jnp.clip(v3[a], 0, S - 1) for a in range(3))
+        lv = leaf_vol[vc[2], vc[1], vc[0]].astype(i32)
         # Out-of-cube voxels resolve at the root level, uniform-empty —
         # exactly find_leaf's topmost-level cell_code fallback.
         level = jnp.where(inb, (lv >> 1) & 0xF, top)
         solid = inb & ((lv & 1) > 0)
-        size = (jnp.int32(1) << level).astype(f32)
-        cell_min = ((v >> level[:, None]) << level[:, None]).astype(f32)
+        size = (i32(1) << level).astype(f32)
+        cmin3 = tuple(((v3[a] >> level) << level).astype(f32)
+                      for a in range(3))
         radius = jnp.where(inb, lv >> 5, 0)
-        return solid, cell_min, size, v, radius
+        return solid, cmin3, size, v3, radius
 
-    def make_body(o_, d_, inv_d_, deg_, t_root_far_):
+    def make_body(o_, d_, inv_, deg_, t_root_far_):
         """The DDA step over a given row set — per-ray float ops are
         identical at every width, so compaction cannot change outputs."""
 
         def body(state):
-            t, alive, hit, t_hit, cmin_out, csize_out, steps = state
-            p = o_ + d_ * nudge(t)[:, None]
-            solid, cmin, csize, v, radius = find_leaf(p)
-            t_near, t_far = _slab(o_, inv_d_, deg_, cmin, cmin + csize[:, None])
+            t, alive, hit, t_hit, cm0, cm1, cm2, csize_out, steps = state
+            tn = nudge(t)
+            p3 = tuple(o_[a] + d_[a] * tn for a in range(3))
+            solid, cmin3, csize, v3, radius = find_leaf(p3)
+            t_near, t_far = slab3(
+                o_, inv_, deg_, cmin3,
+                tuple(cmin3[a] + csize for a in range(3)))
 
             new_hit = alive & solid
             hit = hit | new_hit
             t_hit = jnp.where(new_hit, jnp.maximum(t_near, 0.0), t_hit)
-            cmin_out = jnp.where(new_hit[:, None], cmin, cmin_out)
+            cm0 = jnp.where(new_hit, cmin3[0], cm0)
+            cm1 = jnp.where(new_hit, cmin3[1], cm1)
+            cm2 = jnp.where(new_hit, cmin3[2], cm2)
             csize_out = jnp.where(new_hit, csize, csize_out)
 
             if ball_skip:
-                bmin = (v - radius[:, None]).astype(f32)
-                bmax = (v + radius[:, None]).astype(f32) + 1.0
-                _, t_far_ball = _slab(o_, inv_d_, deg_, bmin, bmax)
+                bmin3 = tuple((v3[a] - radius).astype(f32) for a in range(3))
+                bmax3 = tuple((v3[a] + radius).astype(f32) + 1.0
+                              for a in range(3))
+                _, t_far_ball = slab3(o_, inv_, deg_, bmin3, bmax3)
                 t_far = jnp.maximum(t_far, t_far_ball)
 
             t = jnp.where(alive & ~solid, jnp.maximum(t_far, nudge(t)), t)
             alive = alive & ~solid & (t < t_root_far_)
-            steps = steps + alive.astype(jnp.int32)
-            return t, alive, hit, t_hit, cmin_out, csize_out, steps
+            steps = steps + alive.astype(i32)
+            return t, alive, hit, t_hit, cm0, cm1, cm2, csize_out, steps
 
         return body
 
     def phase(o_, d_, t_root_far_, st, iters):
         """Run the DDA on one row set: ``iters`` bounded steps, or to
         completion when ``iters`` is None."""
-        body = make_body(o_, d_, _safe_inv(d_), _degenerate_axes(d_),
-                         t_root_far_)
+        body = make_body(o_, d_, safe_inv3(d_), deg_axes3(d_), t_root_far_)
         if iters is None:
             def cond(s):
-                return jnp.any(s[1]) & (s[6].max() < max_steps)
+                return jnp.any(s[1]) & (s[8].max() < max_steps)
 
             return jax.lax.while_loop(cond, body, st)
 
         def cond(ks):
             k, s = ks
-            return (k < iters) & jnp.any(s[1]) & (s[6].max() < max_steps)
+            return (k < iters) & jnp.any(s[1]) & (s[8].max() < max_steps)
 
         def bodyk(ks):
             k, s = ks
@@ -328,64 +367,105 @@ def trace_octree_fast(
 
         return jax.lax.while_loop(cond, bodyk, (jnp.int32(0), st))[1]
 
-    state = (
-        t0,
-        alive0,
-        jnp.zeros(n, jnp.bool_),
-        jnp.zeros(n, f32),
-        jnp.zeros((n, 3), f32),
-        jnp.zeros(n, f32),
-        jnp.zeros(n, jnp.int32),
-    )
+    def init_state(m, t_i, alive_i, steps_i):
+        z = jnp.zeros(m, f32)
+        return (t_i, alive_i, jnp.zeros(m, jnp.bool_), z, z, z, z, z,
+                steps_i)
+
+    state = init_state(n, t0, alive0, jnp.zeros(n, i32))
 
     if not ladder:
-        state = phase(o, d, t_root_far, state, None)
+        state = phase(o3, d3, t_root_far, state, None)
     else:
         # Compaction ladder: most rays finish within a few steps; the
         # lockstep while otherwise pays full frame width for the tail.
         # After each bounded phase, gather the surviving rows into a
-        # narrow buffer (row ids via prefix-sum rank), finish them there,
-        # and scatter results back. Per-ray step math is width-agnostic,
-        # so results are bit-identical; survivors beyond a stage cap stay
-        # in the full-width state and the final cleanup loop (normally 0
-        # trips) finishes them.
-        state = phase(o, d, t_root_far, state, ladder[0][0])
+        # narrow buffer — as ONE row-major gather of a packed i32 matrix
+        # (vector gathers run ~9 ns/elem on v5e; row gathers ~30x that
+        # rate) — finish them there, and scatter results back. Per-ray
+        # step math is width-agnostic, so results are bit-identical;
+        # survivors beyond a stage cap stay in the full-width state and
+        # the final cleanup loop (normally 0 trips) finishes them.
+        as_i32 = lambda x: jax.lax.bitcast_convert_type(x, i32)
+        as_f32 = lambda x: jax.lax.bitcast_convert_type(x, f32)
+        state = phase(o3, d3, t_root_far, state, ladder[0][0])
+
+        # Stages CHAIN: each compacts from the previous (already narrow)
+        # stage's rows, and results fold back up at the end with rank
+        # gathers — the only scatter is one iota scatter per stage for
+        # the compaction index list.
+        prev = dict(st=state, o=o3, d=d3, trf=t_root_far, width=n)
+        entries = []
         for si, (_, cap) in enumerate(ladder):
-            t_f, alive_f, hit_f, th_f, cm_f, cs_f, steps_f = state
-            na = jnp.sum(alive_f.astype(jnp.int32))
-            rank = jnp.cumsum(alive_f.astype(jnp.int32)) - 1
+            (t_f, alive_f, hit_f, th_f, cm0_f, cm1_f, cm2_f, cs_f,
+             steps_f) = prev["st"]
+            w_prev = prev["width"]
+            na = jnp.sum(alive_f.astype(i32))
+            rank = jnp.cumsum(alive_f.astype(i32)) - 1
             sel = alive_f & (rank < cap)
             slot = jnp.where(sel, rank, cap)
-            ids = jnp.zeros(cap + 1, jnp.int32).at[slot].set(
-                jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+            ids = jnp.zeros(cap + 1, i32).at[slot].set(
+                jnp.arange(w_prev, dtype=i32), mode="drop")[:cap]
             valid = jnp.arange(cap) < jnp.minimum(na, cap)
-            st_c = (
-                t_f[ids],
-                alive_f[ids] & valid,
-                jnp.zeros(cap, jnp.bool_),
-                jnp.zeros(cap, f32),
-                jnp.zeros((cap, 3), f32),
-                jnp.zeros(cap, f32),
-                steps_f[ids],
-            )
+            packed = jnp.stack(
+                [as_i32(prev["o"][0]), as_i32(prev["o"][1]),
+                 as_i32(prev["o"][2]), as_i32(prev["d"][0]),
+                 as_i32(prev["d"][1]), as_i32(prev["d"][2]),
+                 as_i32(t_f), steps_f, as_i32(prev["trf"]),
+                 alive_f.astype(i32)], axis=1)
+            rows = packed[ids]                      # [cap, 10] row gather
+            o_c = (as_f32(rows[:, 0]), as_f32(rows[:, 1]),
+                   as_f32(rows[:, 2]))
+            d_c = (as_f32(rows[:, 3]), as_f32(rows[:, 4]),
+                   as_f32(rows[:, 5]))
+            trf_c = as_f32(rows[:, 8])
+            st_c = init_state(cap, as_f32(rows[:, 6]),
+                              (rows[:, 9] != 0) & valid, rows[:, 7])
             nxt = ladder[si + 1][0] if si + 1 < len(ladder) else None
-            st_c = phase(o[ids], d[ids], t_root_far[ids], st_c, nxt)
-            t_c, al_c, hit_c, th_c, cm_c, cs_c, steps_c = st_c
-            sids = jnp.where(valid, ids, n)
-            state = (
-                t_f.at[sids].set(t_c, mode="drop"),
-                alive_f.at[sids].set(al_c, mode="drop"),
-                hit_f.at[sids].set(hit_c, mode="drop"),
-                th_f.at[sids].set(th_c, mode="drop"),
-                cm_f.at[sids].set(cm_c, mode="drop"),
-                cs_f.at[sids].set(cs_c, mode="drop"),
-                steps_f.at[sids].set(steps_c, mode="drop"),
+            st_c = phase(o_c, d_c, trf_c, st_c, nxt)
+            entries.append(dict(sel=sel, rank=rank, cap=cap, st=st_c))
+            prev = dict(st=st_c, o=o_c, d=d_c, trf=trf_c, width=cap)
+
+        def merge_back(dst, sel, rank, src, cap):
+            """Fold a narrow stage's state into the row set it was
+            compacted from: row r with sel[r] took narrow row rank[r].
+            One packed row gather + flat wheres — no scatters."""
+            (t_s, al_s, hit_s, th_s, c0_s, c1_s, c2_s, cs_s,
+             st_s) = src
+            packedr = jnp.stack(
+                [as_i32(t_s), al_s.astype(i32), hit_s.astype(i32),
+                 as_i32(th_s), as_i32(c0_s), as_i32(c1_s), as_i32(c2_s),
+                 as_i32(cs_s), st_s], axis=1)
+            rowsr = packedr[jnp.clip(jnp.where(sel, rank, 0), 0, cap - 1)]
+            (t_d, al_d, hit_d, th_d, c0_d, c1_d, c2_d, cs_d,
+             st_d) = dst
+            pick = lambda col, old, cast=as_f32: jnp.where(
+                sel, cast(rowsr[:, col]), old)
+            return (
+                pick(0, t_d),
+                jnp.where(sel, rowsr[:, 1] != 0, al_d),
+                jnp.where(sel, rowsr[:, 2] != 0, hit_d),
+                pick(3, th_d), pick(4, c0_d), pick(5, c1_d),
+                pick(6, c2_d), pick(7, cs_d),
+                jnp.where(sel, rowsr[:, 8], st_d),
             )
+
+        merged = entries[-1]["st"]
+        for i in range(len(entries) - 2, -1, -1):
+            merged = merge_back(entries[i]["st"], entries[i + 1]["sel"],
+                                entries[i + 1]["rank"], merged,
+                                entries[i + 1]["cap"])
+        state = merge_back(state, entries[0]["sel"], entries[0]["rank"],
+                           merged, entries[0]["cap"])
         # overflow cleanup (rays whose rank exceeded a stage cap)
-        state = phase(o, d, t_root_far, state, None)
+        state = phase(o3, d3, t_root_far, state, None)
 
-    t, alive, hit, t_hit, cmin, csize, steps = state
+    t, alive, hit, t_hit, cm0, cm1, cm2, csize, steps = state
 
+    # Epilogue in AoS, verbatim from trace_octree — it runs ONCE per
+    # trace (the [N,3] tiling cost only matters inside the step loop),
+    # and linalg.norm's reduction must match bit-for-bit.
+    cmin = jnp.stack([cm0, cm1, cm2], axis=1)
     point = origins + directions * t_hit[:, None]
     center_vox = cmin + 0.5 * csize[:, None]
     center_world = grid_origin[None, :] + center_vox * voxel_size

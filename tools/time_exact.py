@@ -108,19 +108,24 @@ def main():
 
     bench("+ball+ladder+seed", seeded)
 
+    @jax.jit
+    def _frame(pos, view, live, ts):
+        return render_octree_image(
+            pyr, g.origin, g.voxel_size, pos, view,
+            W, H, jnp.float32(45.0), jnp.float32(aspect), shadows=True,
+            leaf_vol=lv, ball_skip=True, ladder=lad, light_dir=LIGHT_DIR,
+            seed_live=live, seed_t=ts,
+            shadow_live_vol=None)  # prune off: zero rays pruned on Calgary
+
     def full_frame(i):
         cam = pose(i)
         live, ts, ext = sweep_seed(
             dil, g.origin, g.voxel_size, cam.get_pos(), cam.get_view(),
             45.0, aspect, W, H)
-        return render_octree_image(
-            pyr, g.origin, g.voxel_size,
+        return _frame(
             jnp.asarray(cam.get_pos(), jnp.float32),
             jnp.asarray(cam.get_view(), jnp.float32),
-            W, H, jnp.float32(45.0), jnp.float32(aspect), shadows=True,
-            leaf_vol=lv, ball_skip=True, ladder=lad, light_dir=LIGHT_DIR,
-            seed_live=live if ext else None, seed_t=ts if ext else None,
-            shadow_live_vol=None)  # prune off: zero rays pruned on Calgary
+            live if ext else None, ts if ext else None)
 
     dt = bench("frame primary+shadow", full_frame)
     print(f"exact_tracer_mrays (x2 rays): {2*n/dt/1e6:.2f}", flush=True)
