@@ -169,10 +169,12 @@ def build_leaf_volume(pyramid: OccupancyPyramid,
                   raw grid read uniform-EMPTY), i.e. exactly the level
                   ``trace_octree.find_leaf`` resolves by its 10-gather
                   root-to-voxel descent,
-      bits 5..7 : empty-skip radius r (0..skip_radius_cap, ``min(D, cap)``
-                  where D = Chebyshev distance to the nearest solid voxel
-                  minus 1): the box [v - r, v + r + 1) contains no solid
-                  voxel. 0 for solid voxels.
+      bits 5..7 : empty-skip radius CODE c with decoded radius
+                  r = c for c <= 3 (exact small Chebyshev distances) and
+                  r = 2^(c-1) for c in 4..7 (8/16/32/64, qualified from
+                  coarse pyramid neighborhoods): the box [v - r, v + r + 1)
+                  contains no solid voxel. 0 for solid voxels. Decode with
+                  :func:`decode_skip_radius`.
 
     One gather of this volume replaces the per-level pyramid descent in the
     exact tracer (trace/octree_trace.py::trace_octree_fast) — the
@@ -211,11 +213,11 @@ def build_leaf_volume(pyramid: OccupancyPyramid,
         solid = jnp.where(take, code_c == 2, solid)
         found = found | uni
 
-    # --- empty-skip radius: iterated 3^3 dilation of the solid mask --------
-    # After i dilations, dil is "some solid voxel within Chebyshev distance
-    # i"; the skip radius of an empty voxel is the largest r with no solid
-    # within distance r.
-    cap = int(skip_radius_cap)
+    # --- empty-skip radius code ---------------------------------------------
+    # Codes 1..3 (exact): after i iterated 3^3 dilations of the solid mask,
+    # dil is "some solid voxel within Chebyshev distance i"; the exact code
+    # of an empty voxel is the largest r <= 3 with no solid within r.
+    cap = min(int(skip_radius_cap), 3)
     dil = solid
     radius = jnp.zeros(solid.shape, jnp.uint8)
     for _ in range(cap):
@@ -225,6 +227,33 @@ def build_leaf_volume(pyramid: OccupancyPyramid,
             padding="SAME",
         )
         radius = radius + (~dil).astype(jnp.uint8)
+    # Codes 4..7 (log scale, r = 2^(c-1) = 8/16/32/64): if the 3^3 block of
+    # level-k cells (k = c-1, cell size 2^k) around v's cell holds no solid,
+    # then for any v inside the center cell [v - 2^k, v + 2^k + 1) lies
+    # within the block, so skipping r = 2^k is safe. Monotone in c (a clear
+    # size-2^k block contains the size-2^(k-1) block), so the where-chain
+    # with increasing c keeps the largest qualified code. Coarse levels pad
+    # with uniform-EMPTY to the (S >> k)^3 cube, matching cell_code's
+    # out-of-array semantics (the cube padding holds no solid).
+    if int(skip_radius_cap) > 3:
+        for c in range(4, min(int(skip_radius_cap), 7) + 1):
+            k = c - 1
+            if k > top:
+                break
+            code_k = pyramid.code_levels[k]
+            sk = S >> k
+            dz, dy, dx = code_k.shape
+            solid_k = jnp.zeros((sk, sk, sk), bool).at[:dz, :dy, :dx].set(
+                code_k != 0)
+            nb = jax.lax.reduce_window(
+                solid_k, False, jax.lax.bitwise_or,
+                window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+                padding="SAME",
+            )
+            q = ~nb
+            for _ in range(k):
+                q = _repeat2(q)
+            radius = jnp.where(q, jnp.uint8(c), radius)
     radius = jnp.where(solid, jnp.uint8(0), radius)
 
     return (
@@ -232,6 +261,14 @@ def build_leaf_volume(pyramid: OccupancyPyramid,
         | (level << jnp.uint8(1))
         | (radius << jnp.uint8(5))
     )
+
+
+def decode_skip_radius(code):
+    """Decoded Chebyshev skip radius of a leaf-volume radius code (int).
+
+    r = c for c <= 3, else 2^(c-1) (8/16/32/64 for codes 4..7)."""
+    c = code.astype(jnp.int32)
+    return jnp.where(c <= 3, c, jnp.left_shift(jnp.int32(1), c - 1))
 
 
 @jax.tree_util.register_dataclass

@@ -49,7 +49,7 @@ def lambert_shade(normal, hit, light_dir, base_color, ambient):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "max_steps", "shadows", "ball_skip",
-                     "bands", "ladder"),
+                     "bands", "ladder", "shadow_ladder", "safety_cap"),
 )
 def render_octree_image(
     pyramid: OccupancyPyramid,
@@ -73,6 +73,9 @@ def render_octree_image(
     seed_live=None,   # bool[H*W] from slab_sweep.sweep_seed (primary only)
     seed_t=None,      # f32[H*W]
     shadow_live_vol=None,  # bool[Z+2r,...] from slab_sweep.light_blocked_volume
+    shadow_ladder: tuple = None,  # compaction schedule for the shadow trace
+    safety_cap: int = 0,          # overflow stage width for both traces
+    shadow_seed=None,  # slab_sweep.ShadowSeed: conservative per-ray prune
 ):
     """Full frame: ray gen -> stackless octree trace -> Lambert shade.
 
@@ -88,7 +91,8 @@ def render_octree_image(
     """
     origins, dirs = generate_rays(width, height, cam_pos, view, fov_deg, aspect)
 
-    def trace(o, d, live=None, ts=None):
+    def trace(o, d, live=None, ts=None, lad=None, const_origin=False,
+              const_dir=False):
         if leaf_vol is not None:
             from ray_tracing_octrees_tpu.trace.octree_trace import (
                 trace_octree_fast,
@@ -97,8 +101,10 @@ def render_octree_image(
             return trace_octree_fast(
                 leaf_vol, o, d, jnp.asarray(grid_origin, jnp.float32),
                 jnp.asarray(voxel_size, jnp.float32), max_steps=max_steps,
-                ball_skip=ball_skip, ladder=ladder,
+                ball_skip=ball_skip, ladder=ladder if lad is None else lad,
                 t_start=ts, live_mask=live,
+                const_origin=const_origin, const_dir=const_dir,
+                safety_cap=safety_cap,
             )
         return trace_octree(
             pyramid, o, d, jnp.asarray(grid_origin, jnp.float32),
@@ -106,7 +112,8 @@ def render_octree_image(
         )
 
     def shade_rays(o_b, d_b, live_b=None, ts_b=None):
-        res = trace(o_b, d_b, live_b, ts_b)
+        # primary rays form a pinhole bundle: every origin is cam_pos
+        res = trace(o_b, d_b, live_b, ts_b, const_origin=True)
         color = lambert_shade(
             res["normal"], res["hit"], light_dir, base_color, ambient)
         if shadows:
@@ -122,7 +129,10 @@ def render_octree_image(
             # is unchanged (occluded is ANDed with the primary hit).
             shadow_o = jnp.where(
                 res["hit"][:, None], shadow_o, shadow_d * jnp.float32(3e7))
-            s_live = None
+            # Only primary-hit pixels carry a real shadow ray; passing the
+            # hit mask as live_mask lets a ladder's (0, cap) stage compact
+            # the ~(1 - hit_frac) dead rows away before any DDA step.
+            s_live = res["hit"]
             if shadow_live_vol is not None:
                 # conservative light-occludability prune: a False flag at
                 # the shadow origin's voxel PROVES no solid toward the
@@ -147,7 +157,23 @@ def render_octree_image(
                     [dxv - 1, dyv - 1, dzv - 1], jnp.int32))
                 flag = shadow_live_vol[vc[:, 2], vc[:, 1], vc[:, 0]]
                 s_live = jnp.where(inb, flag, True) & res["hit"]
-            sres = trace(shadow_o, shadow_d, s_live)
+            s_ts = None
+            if shadow_seed is not None:
+                # Orthographic sheared bit-field along the light axis
+                # (slab_sweep.build_shadow_seed): provably-unoccluded
+                # shadow rays die at step 0, the rest jump conservatively
+                # to their first candidate slab.
+                from ray_tracing_octrees_tpu.trace.slab_sweep import (
+                    query_shadow_seed,
+                )
+
+                ss_live, s_ts = query_shadow_seed(
+                    shadow_seed, shadow_o, jnp.asarray(grid_origin,
+                                                       jnp.float32),
+                    jnp.asarray(voxel_size, jnp.float32))
+                s_live = s_live & ss_live
+            sres = trace(shadow_o, shadow_d, s_live, s_ts,
+                         lad=shadow_ladder, const_dir=True)
             occluded = sres["hit"] & res["hit"]
             amb = jnp.asarray(ambient, jnp.float32)
             color = jnp.where(

@@ -64,6 +64,7 @@ import numpy as np
 
 from ray_tracing_octrees_tpu.ops import mc_tables as t
 from ray_tracing_octrees_tpu.trace.slab_sweep import (
+    first_set_from,
     _AXIS_SELECTORS,
     _frame_scalars_np,
     _layout_volume,
@@ -322,28 +323,8 @@ def _sweep_candidates(detect_sw, hats, n_chunks: int,
                              jnp.zeros((N, n_chunks), jnp.int32))
 
 
-def _first_set_from(bits, ptr):
-    """Per row: the first set bit index >= ptr, as (has bool[m], o i32[m]).
-
-    bits int32[m, W] little-endian 32-bit words (bit b of word w = slab
-    w * 32 + b), ptr i32[m] the first slab still eligible.
-    """
-    i32 = jnp.int32
-    W = bits.shape[1]
-    wi = jnp.arange(W, dtype=i32)[None, :]
-    wptr = ptr >> 5
-    mask_word = jnp.left_shift(i32(-1), ptr & 31)           # bits >= ptr&31
-    m = jnp.where(wi > wptr[:, None], bits,
-                  jnp.where(wi == wptr[:, None],
-                            bits & mask_word[:, None], 0))
-    nz = m != 0
-    has = nz.any(axis=1)
-    fw = jnp.argmax(nz, axis=1).astype(i32)
-    word = jnp.where(wi == fw[:, None], m, 0).sum(axis=1)
-    lsb = word & -word
-    b = i32(31) - jax.lax.clz(lsb)
-    o = fw * 32 + jnp.maximum(b, 0)
-    return has, o
+_first_set_from = first_set_from  # moved to slab_sweep (shared with the
+# orthographic shadow seed); kept under its historical local name.
 
 
 def _footprint_slots(pa, pb, half_a, half_b, ca, cb):

@@ -40,7 +40,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ray_tracing_octrees_tpu.core.octree import LinearOctree, OccupancyPyramid
+from ray_tracing_octrees_tpu.core.octree import (
+    LinearOctree,
+    OccupancyPyramid,
+    decode_skip_radius,
+)
 from ray_tracing_octrees_tpu.render.frustum import frustum_planes, test_aabb
 
 
@@ -190,7 +194,8 @@ def trace_octree(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_steps", "ball_skip", "ladder"))
+    jax.jit, static_argnames=("max_steps", "ball_skip", "ladder",
+                              "const_origin", "const_dir", "safety_cap"))
 def trace_octree_fast(
     leaf_vol: jax.Array,    # u8[S, S, S] from core.octree.build_leaf_volume
     origins: jax.Array,     # f32[N, 3] world
@@ -202,6 +207,9 @@ def trace_octree_fast(
     ladder: tuple = (),
     t_start=None,      # f32[N]: conservative per-ray start t (world units)
     live_mask=None,    # bool[N]: rays proven to miss start dead
+    const_origin: bool = False,  # all rays share origins[0] (pinhole bundle)
+    const_dir: bool = False,     # all rays share directions[0] (directional)
+    safety_cap: int = 0,  # post-ladder overflow stage width (0 = off)
 ) -> dict:
     """:func:`trace_octree` with the pyramid descent folded into ONE gather.
 
@@ -229,6 +237,17 @@ def trace_octree_fast(
     rather than as one global lockstep cut (identical whenever no ray
     reaches the cap, as on every real scene: Calgary max = 50 of 512).
 
+    ``const_origin`` / ``const_dir``: caller's promise that every row of
+    ``origins`` / ``directions`` equals row 0 (a pinhole primary bundle /
+    a directional shadow bundle). The shared component becomes a scalar —
+    identical float ops via broadcasting — and ladder compactions stop
+    carrying its 3 columns.
+
+    ``safety_cap``: width of an extra post-ladder compaction stage that
+    retires cap-overflow stragglers; without it they fall through to the
+    full-width cleanup loop (full-frame cost per step — the measured
+    280 ms failure mode when a stage cap was sized below the live count).
+
     Reference anchor: intersectOctreeIterative (RayTracerBVH.cpp:239-327)
     runs one node fetch per visit on a GL compute unit; this is the
     TPU-native equivalent of that per-visit cost.
@@ -245,9 +264,20 @@ def trace_octree_fast(
     # cmin carry were all [N,3], making every DDA step HBM-bound on
     # padding (measured 7.7 ms/step at 518k rays; per-axis [N] forms are
     # the same float ops in the same order, so outputs are bit-identical).
-    o3 = tuple((origins[:, a] - grid_origin[a]) / voxel_size
-               for a in range(3))
-    d3 = tuple(directions[:, a] / voxel_size for a in range(3))
+    # ``const_origin`` (pinhole primary bundle: every ray starts at the
+    # eye) and ``const_dir`` (directional shadow bundle) shrink the
+    # shared components to scalars — same float ops via broadcasting, and
+    # the ladder stops carrying those columns through its compactions.
+    if const_origin:
+        o3 = tuple((origins[0, a] - grid_origin[a]) / voxel_size
+                   for a in range(3))
+    else:
+        o3 = tuple((origins[:, a] - grid_origin[a]) / voxel_size
+                   for a in range(3))
+    if const_dir:
+        d3 = tuple(directions[0, a] / voxel_size for a in range(3))
+    else:
+        d3 = tuple(directions[:, a] / voxel_size for a in range(3))
 
     def safe_inv3(dv):
         return tuple(_safe_inv(dv[a]) for a in range(3))
@@ -280,6 +310,10 @@ def trace_octree_fast(
     t_root_near, t_root_far = slab3(o3, inv3, deg3, zero3, root3)
     alive0 = (t_root_near <= t_root_far) & (t_root_far > 0)
     t0 = jnp.maximum(t_root_near, 0.0)
+    # state carries must be [n] even when both bundle components are
+    # shared scalars
+    t0 = jnp.broadcast_to(t0, (n,))
+    alive0 = jnp.broadcast_to(alive0, (n,))
     # Conservative seeds (slab_sweep.sweep_seed): skip provably-empty
     # leading space / provably-missing rays. Sampled points change only
     # across solid-free regions, so outputs match the unseeded trace up to
@@ -309,7 +343,7 @@ def trace_octree_fast(
         size = (i32(1) << level).astype(f32)
         cmin3 = tuple(((v3[a] >> level) << level).astype(f32)
                       for a in range(3))
-        radius = jnp.where(inb, lv >> 5, 0)
+        radius = jnp.where(inb, decode_skip_radius(lv >> 5), 0)
         return solid, cmin3, size, v3, radius
 
     def make_body(o_, d_, inv_, deg_, t_root_far_):
@@ -390,13 +424,15 @@ def trace_octree_fast(
         as_f32 = lambda x: jax.lax.bitcast_convert_type(x, f32)
         state = phase(o3, d3, t_root_far, state, ladder[0][0])
 
-        # Stages CHAIN: each compacts from the previous (already narrow)
-        # stage's rows, and results fold back up at the end with rank
-        # gathers — the only scatter is one iota scatter per stage for
-        # the compaction index list.
-        prev = dict(st=state, o=o3, d=d3, trf=t_root_far, width=n)
-        entries = []
-        for si, (_, cap) in enumerate(ladder):
+        def roots_of(o_, d_):
+            """t_root_far recomputed from (o, d) — same floats, same ops
+            as the top-level slab, so bit-identical to carrying it."""
+            return slab3(o_, safe_inv3(d_), deg_axes3(d_), zero3, root3)[1]
+
+        def compact(prev, cap):
+            """Gather prev's alive rows into a cap-row stage. Shared
+            bundle components (const origin / direction) are scalars and
+            are not carried; t_root_far is recomputed from (o, d)."""
             (t_f, alive_f, hit_f, th_f, cm0_f, cm1_f, cm2_f, cs_f,
              steps_f) = prev["st"]
             w_prev = prev["width"]
@@ -407,24 +443,41 @@ def trace_octree_fast(
             ids = jnp.zeros(cap + 1, i32).at[slot].set(
                 jnp.arange(w_prev, dtype=i32), mode="drop")[:cap]
             valid = jnp.arange(cap) < jnp.minimum(na, cap)
-            packed = jnp.stack(
-                [as_i32(prev["o"][0]), as_i32(prev["o"][1]),
-                 as_i32(prev["o"][2]), as_i32(prev["d"][0]),
-                 as_i32(prev["d"][1]), as_i32(prev["d"][2]),
-                 as_i32(t_f), steps_f, as_i32(prev["trf"]),
-                 alive_f.astype(i32)], axis=1)
-            rows = packed[ids]                      # [cap, 10] row gather
-            o_c = (as_f32(rows[:, 0]), as_f32(rows[:, 1]),
-                   as_f32(rows[:, 2]))
-            d_c = (as_f32(rows[:, 3]), as_f32(rows[:, 4]),
-                   as_f32(rows[:, 5]))
-            trf_c = as_f32(rows[:, 8])
-            st_c = init_state(cap, as_f32(rows[:, 6]),
-                              (rows[:, 9] != 0) & valid, rows[:, 7])
+            cols = []
+            if not const_origin:
+                cols += [as_i32(prev["o"][a]) for a in range(3)]
+            if not const_dir:
+                cols += [as_i32(prev["d"][a]) for a in range(3)]
+            cols += [as_i32(t_f), steps_f, alive_f.astype(i32)]
+            rows = jnp.stack(cols, axis=1)[ids]     # [cap, <=9] row gather
+            ci = 0
+            if const_origin:
+                o_c = prev["o"]
+            else:
+                o_c = tuple(as_f32(rows[:, ci + a]) for a in range(3))
+                ci += 3
+            if const_dir:
+                d_c = prev["d"]
+            else:
+                d_c = tuple(as_f32(rows[:, ci + a]) for a in range(3))
+                ci += 3
+            st_c = init_state(cap, as_f32(rows[:, ci]),
+                              (rows[:, ci + 2] != 0) & valid,
+                              rows[:, ci + 1])
+            return sel, rank, o_c, d_c, st_c
+
+        # Stages CHAIN: each compacts from the previous (already narrow)
+        # stage's rows, and results fold back up at the end with rank
+        # gathers — the only scatter is one iota scatter per stage for
+        # the compaction index list.
+        prev = dict(st=state, o=o3, d=d3, width=n)
+        entries = []
+        for si, (_, cap) in enumerate(ladder):
+            sel, rank, o_c, d_c, st_c = compact(prev, cap)
             nxt = ladder[si + 1][0] if si + 1 < len(ladder) else None
-            st_c = phase(o_c, d_c, trf_c, st_c, nxt)
+            st_c = phase(o_c, d_c, roots_of(o_c, d_c), st_c, nxt)
             entries.append(dict(sel=sel, rank=rank, cap=cap, st=st_c))
-            prev = dict(st=st_c, o=o_c, d=d_c, trf=trf_c, width=cap)
+            prev = dict(st=st_c, o=o_c, d=d_c, width=cap)
 
         def merge_back(dst, sel, rank, src, cap):
             """Fold a narrow stage's state into the row set it was
@@ -457,7 +510,18 @@ def trace_octree_fast(
                                 entries[i + 1]["cap"])
         state = merge_back(state, entries[0]["sel"], entries[0]["rank"],
                            merged, entries[0]["cap"])
-        # overflow cleanup (rays whose rank exceeded a stage cap)
+        if safety_cap:
+            # Overflow insurance: rays whose rank exceeded a stage cap sat
+            # idle in their stage buffer and are still alive here. Without
+            # this stage they'd finish in the full-width cleanup loop
+            # below at full-frame cost per step (the measured 280 ms
+            # failure mode); one more narrow stage retires them at
+            # safety_cap width instead.
+            sel_s, rank_s, o_s, d_s, st_s = compact(
+                dict(st=state, o=o3, d=d3, width=n), safety_cap)
+            st_s = phase(o_s, d_s, roots_of(o_s, d_s), st_s, None)
+            state = merge_back(state, sel_s, rank_s, st_s, safety_cap)
+        # overflow cleanup (rays beyond every cap; normally 0 trips)
         state = phase(o3, d3, t_root_far, state, None)
 
     t, alive, hit, t_hit, cm0, cm1, cm2, csize, steps = state

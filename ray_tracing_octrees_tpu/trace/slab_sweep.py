@@ -1052,3 +1052,170 @@ def _finish_shade(w_val, behind, dirs, d_s_n, scal, width: int, height: int,
     rgba = jnp.concatenate(
         [color, jnp.ones((color.shape[0], 1), f32)], -1)
     return rgba.reshape(height, width, 4)
+
+
+# --------------------------------------------------------------------------
+# Orthographic shadow seed: conservative per-ray prune + start-t for the
+# EXACT tracer's shadow bundle. All shadow rays of a directional light are
+# parallel, so in a sheared "light space" every ray is a constant (a, b)
+# column of one per-scene volume — the same factorization as
+# :func:`_shadow_sweep`, but keeping a per-slab candidate BIT FIELD instead
+# of cumulative occlusion, and over the DILATED occupancy so the
+# sweep_seed conservativeness proof carries over:
+#
+#   * no set bit ahead of a ray's slab  =>  the ray hits nothing
+#     (provably unoccluded, dead at step 0),
+#   * the first set bit at travel slab o  =>  the first solid crossing is
+#     no earlier than (o - m_p - margin) slabs ahead (a start-t lower
+#     bound, skipping the provably-empty lead).
+#
+# Proof sketch (mirrors sweep_seed): if the ray crosses a solid voxel w in
+# travel slab m, the ray's slab-center lateral position is within
+# |slope|/2 <= 0.5 of the crossing (the dominant light axis bounds both
+# lateral slopes by 1), the crossing within 1 cell of w, the column
+# rounding within 0.5, and the shear's bilinear taps within 1 more — every
+# tap lies within 3 cells of w, where the radius-3 dilation reads 1, so
+# the resampled value is exactly 1 >= 0.5 and bit m is set.
+# --------------------------------------------------------------------------
+
+
+def first_set_from(bits, ptr):
+    """Per row: the first set bit index >= ptr, as (has bool[m], o i32[m]).
+
+    bits int32[m, W] little-endian 32-bit words (bit b of word w = slab
+    w * 32 + b), ptr i32[m] the first slab still eligible.
+    """
+    i32 = jnp.int32
+    W = bits.shape[1]
+    wi = jnp.arange(W, dtype=i32)[None, :]
+    wptr = ptr >> 5
+    mask_word = jnp.left_shift(i32(-1), ptr & 31)           # bits >= ptr&31
+    m = jnp.where(wi > wptr[:, None], bits,
+                  jnp.where(wi == wptr[:, None],
+                            bits & mask_word[:, None], 0))
+    nz = m != 0
+    has = nz.any(axis=1)
+    fw = jnp.argmax(nz, axis=1).astype(i32)
+    word = jnp.where(wi == fw[:, None], m, 0).sum(axis=1)
+    lsb = word & -word
+    b = i32(31) - jax.lax.clz(lsb)
+    o = fw * 32 + jnp.maximum(b, 0)
+    return has, o
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bits2d"],
+    meta_fields=["axis_world", "flip", "da", "db", "pa_lo", "pb_lo",
+                 "S", "OA", "OB", "d_s_abs"],
+)
+@dataclasses.dataclass(frozen=True)
+class ShadowSeed:
+    """Per-(scene, light) sheared candidate bit field (see module note).
+
+    Registered as a pytree (geometry fields are static metadata) so it can
+    cross jit boundaries — e.g. as render_octree_image's ``shadow_seed``."""
+
+    bits2d: jax.Array   # i32[OA * OB, C] travel-slab candidate words
+    axis_world: int     # dominant |D| axis of the shadow direction (xyz)
+    flip: bool          # True when the shadow direction descends the axis
+    da: float           # lateral drift (a axis) per +1 travel slab
+    db: float
+    pa_lo: int
+    pb_lo: int
+    S: int              # travel-slab count (sweep extent of the volume)
+    OA: int
+    OB: int
+    d_s_abs: float      # |D_s| of the UNIT shadow direction (world)
+
+
+def build_shadow_seed(volume_dilated, to_light) -> ShadowSeed:
+    """Build the seed for shadow rays travelling TOWARD ``to_light``.
+
+    volume_dilated: from :func:`dilate_occupancy` (radius-3 padded).
+    Once per (scene, light) — like :func:`shadow_volume`.
+    """
+    f32 = jnp.float32
+    D = np.asarray(to_light, np.float64)
+    D = D / np.linalg.norm(D)
+    axis_world = int(np.argmax(np.abs(D)))
+    sel = _AXIS_SELECTORS[axis_world]
+    d_s = float(D @ np.asarray(sel[0], np.float64))
+    d_a = float(D @ np.asarray(sel[1], np.float64))
+    d_b = float(D @ np.asarray(sel[2], np.float64))
+    flip = d_s < 0.0
+    da = d_a / abs(d_s)   # per +1 slab along the travel direction
+    db = d_b / abs(d_s)
+
+    vol_zyx = jnp.asarray(volume_dilated, f32)
+    if axis_world == 0:
+        vol = jnp.transpose(vol_zyx, (2, 1, 0))
+    elif axis_world == 1:
+        vol = jnp.transpose(vol_zyx, (1, 2, 0))
+    else:
+        vol = jnp.transpose(vol_zyx, (0, 2, 1))
+    S, A, B = vol.shape
+    vols = vol[::-1] if flip else vol      # vols[m] = slab at travel step m
+
+    pa_lo = int(math.ceil((S - 1) * max(da, 0.0))) + 1
+    pa_hi = int(math.ceil((S - 1) * max(-da, 0.0))) + 1
+    pb_lo = int(math.ceil((S - 1) * max(db, 0.0))) + 1
+    pb_hi = int(math.ceil((S - 1) * max(-db, 0.0))) + 1
+    # column coordinate of lateral a at travel step m: o = a - m*da + pa_lo
+    # (constant along a ray) — _shadow_hats' sign convention needs -da.
+    ma, mb, _, _ = _shadow_hats(S, A, B, -da, -db, pa_lo, pa_hi, pb_lo, pb_hi)
+    sh = jnp.einsum("soa,sab->sob", ma, vols.astype(jnp.bfloat16),
+                    preferred_element_type=f32)
+    sh = jnp.einsum("sob,spb->sop", sh.astype(jnp.bfloat16), mb,
+                    preferred_element_type=f32)   # [S, OA, OB]
+    hits = sh >= 0.5
+    OA, OB = hits.shape[1], hits.shape[2]
+    C = -(-S // 32)
+    pad = C * 32 - S
+    if pad:
+        hits = jnp.concatenate(
+            [hits, jnp.zeros((pad, OA, OB), bool)], axis=0)
+    hb = hits.reshape(C, 32, OA, OB).astype(jnp.int32)
+    shifts = jnp.arange(32, dtype=jnp.int32)[None, :, None, None]
+    words = (hb << shifts).sum(axis=1)             # [C, OA, OB]
+    bits2d = jnp.transpose(words, (1, 2, 0)).reshape(OA * OB, C)
+    return ShadowSeed(
+        bits2d=jax.block_until_ready(bits2d),
+        axis_world=axis_world, flip=bool(flip), da=float(da), db=float(db),
+        pa_lo=pa_lo, pb_lo=pb_lo, S=S, OA=OA, OB=OB, d_s_abs=abs(d_s),
+    )
+
+
+def query_shadow_seed(seed: ShadowSeed, shadow_o, grid_origin, voxel_size):
+    """Conservative (live bool[N], t_start f32[N]) for shadow origins.
+
+    ``grid_origin``/``voxel_size`` are the ORIGINAL grid's (the dilation
+    pad shift happens here, as in sweep_seed). live=False PROVES the ray
+    hits nothing; t_start lower-bounds the first-hit t. Out-of-field rays
+    conservatively stay live with t_start 0.
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    vs = jnp.asarray(voxel_size, f32)
+    origin_p = (jnp.asarray(grid_origin, f32)
+                - jnp.float32(SEED_DILATION) * vs)
+    pv = (shadow_o - origin_p[None, :]) / vs       # dilated-volume voxels
+    ax = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[seed.axis_world]
+    s_p = pv[:, ax[0]]
+    a_p = pv[:, ax[1]]
+    b_p = pv[:, ax[2]]
+    m_p = (f32(seed.S) - s_p) if seed.flip else s_p
+    col_a = jnp.round(a_p - m_p * f32(seed.da) + f32(seed.pa_lo)).astype(i32)
+    col_b = jnp.round(b_p - m_p * f32(seed.db) + f32(seed.pb_lo)).astype(i32)
+    in_range = ((col_a >= 0) & (col_a < seed.OA)
+                & (col_b >= 0) & (col_b < seed.OB)
+                & (m_p < f32(seed.S)))
+    row = jnp.clip(col_a * seed.OB + col_b, 0, seed.OA * seed.OB - 1)
+    words = seed.bits2d[row]                       # [N, C] row gather
+    m_lo = jnp.clip(jnp.floor(m_p).astype(i32) - 1, 0, seed.S)
+    has, o = first_set_from(words, m_lo)
+    live = has | ~in_range
+    # entry of the candidate slab minus a full-slab cushion, in world t
+    t_seed = (o.astype(f32) - m_p - 1.25) * vs / f32(seed.d_s_abs)
+    t_seed = jnp.where(has & in_range, jnp.maximum(t_seed, 0.0), 0.0)
+    return live, t_seed

@@ -230,18 +230,23 @@ def test_leaf_volume_matches_cell_code_walk(rng, dims):
     np.testing.assert_array_equal((lv >> 1) & 0xF, level_o)
     np.testing.assert_array_equal(lv & 1, solid_o.astype(np.uint8))
 
-    # skip radius: the ball [v - r, v + r + 1) is solid-free; r is maximal
-    # (up to the cap) — checked against a brute-force Chebyshev distance
+    # skip radius: the ball [v - r, v + r + 1) is solid-free (always), and
+    # the EXACT sub-scale (codes 0..3) is maximal — checked brute-force.
+    # Log-scale codes 4..7 (r = 8/16/32/64) are conservative by
+    # construction, not maximal (alignment-quantized).
+    from ray_tracing_octrees_tpu.core.octree import decode_skip_radius
+
     occ_pad = np.zeros((pyr.root_size,) * 3, bool)
     occ_pad[: dims[0], : dims[1], : dims[2]] = occ > 0
-    r = (lv >> 5).astype(np.int32)
+    code = (lv >> 5).astype(np.int32)
+    r = np.asarray(decode_skip_radius(jnp.asarray(code)))
     S = pyr.root_size
     for v in np.argwhere(~occ_pad)[:: max(1, (~occ_pad).sum() // 64)]:
         rr = int(r[tuple(v)])
         lo = np.maximum(v - rr, 0)
         hi = np.minimum(v + rr + 1, S)
         assert not occ_pad[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].any()
-        if rr < 7:   # maximality: radius rr+1 must contain a solid voxel
+        if rr < 3:   # exact range: radius rr+1 must contain a solid voxel
             lo = np.maximum(v - rr - 1, 0)
             hi = np.minimum(v + rr + 2, S)
             box = occ_pad[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
