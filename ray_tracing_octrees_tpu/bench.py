@@ -186,9 +186,18 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         res = os.environ.get("RTO_BENCH_EXACT_RES", "960x540")
         sw, sh_ = (int(x) for x in res.split("x"))
         n_rays = sw * sh_
-        # (0, N/2): compact on the seed mask BEFORE stepping — ~60%+ of
-        # rays are provably dead at step 0 on exterior poses
-        lad = ((0, n_rays // 2), (4, n_rays // 8), (8, n_rays // 32))
+        # Deep compaction schedules (tools/exp_exact_probe6/7, measured on
+        # chip): (0, N/2) compacts on the seed mask BEFORE stepping (~60%+
+        # of rays provably dead at step 0 on exterior poses), then stages
+        # sized to the measured survivor curve — 624 -> 153 ms/frame at
+        # 960x540 vs the shallow 3-stage schedule. Shadow rays get their
+        # own schedule: only ~hit_frac of rows are live, and their
+        # survivor curve decays slower (shallow city light).
+        lad = ((0, n_rays // 2), (3, int(n_rays * 0.3)), (6, n_rays // 8),
+               (10, n_rays // 32), (16, n_rays // 128))
+        shadow_lad = ((0, int(n_rays * 0.28)), (6, int(n_rays * 0.225)),
+                      (12, n_rays // 8), (16, n_rays // 16),
+                      (20, n_rays // 64))
 
         # ONE jitted program for the whole frame: eager raygen/shade/
         # shadow chains materialize [N,3] intermediates at T(8,128)
@@ -199,6 +208,7 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
                 pyr, grid.origin, grid.voxel_size, pos, view,
                 sw, sh_, jnp.float32(45.0), jnp.float32(aspect),
                 shadows=True, leaf_vol=lv, ball_skip=True, ladder=lad,
+                shadow_ladder=shadow_lad, safety_cap=n_rays // 16,
                 seed_live=live, seed_t=ts,
                 light_dir=light_dir,
                 shadow_live_vol=blk,

@@ -64,7 +64,10 @@ def main():
     extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
     center = np.asarray(building_center(g))
     n = W * H
-    lad = ((0, n // 2), (4, n // 8), (8, n // 32))
+    lad = ((0, n // 2), (3, int(n * 0.3)), (6, n // 8), (10, n // 32),
+           (16, n // 128))
+    shadow_lad = ((0, int(n * 0.28)), (6, int(n * 0.225)), (12, n // 8),
+                  (16, n // 16), (20, n // 64))
 
     def pose(i):
         cam = Camera(theta=0.9 + 1e-4 * i, phi=0.8, radius=0.75 * extent)
