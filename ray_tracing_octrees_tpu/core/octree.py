@@ -326,6 +326,69 @@ class LinearOctree:
         return jnp.where(hit, self.sorted_node_idx[pos_c], -1)
 
 
+@functools.partial(jax.jit, static_argnames=("S",))
+def _build_node_id_volume(children, S: int):
+    ids = jnp.zeros((1, 1, 1), jnp.int32)
+    for _ in range(int(np.log2(S))):
+        ids = _repeat2(ids)
+        n = ids.shape[0]
+        h = jnp.arange(n, dtype=jnp.int32) & 1
+        octant = (
+            h[None, None, :]            # x -> bit 0 (OctreeVoxel.cpp:751-755)
+            + 2 * h[None, :, None]      # y -> bit 1
+            + 4 * h[:, None, None]      # z -> bit 2
+        )
+        child = children[ids, jnp.broadcast_to(octant, ids.shape)]
+        ids = jnp.where(child >= 0, child, ids)
+    return ids
+
+
+def build_node_id_volume(tree: LinearOctree, root_size: int = 0) -> jax.Array:
+    """i32[S, S, S]: id of the LEAF node containing each voxel of the root cube.
+
+    The constant-time half of ``g_octreeMap``: the deepest node anchored at
+    any corner c is always a leaf (internal nodes always carry all 8
+    children, so an anchored chain descends to one), and it exists iff the
+    leaf containing c has min-corner exactly c. So ``find_node`` becomes one
+    volume gather plus an anchored check (:func:`find_node_vol`) instead of
+    a log2(N)-step binary search per query — the DC adjacency passes issue
+    millions of such queries per extraction. Built top-down from the child
+    arrays in log2(S) doubling steps; scene preprocessing, like the
+    reference registering every node in the map during the octree build
+    (OctreeVoxel.cpp:552-554,712-713).
+    """
+    if not root_size:
+        from ray_tracing_octrees_tpu.core.grid import host_fetch
+
+        root_size = int(np.asarray(host_fetch(tree.size[:1]))[0])
+    return _build_node_id_volume(tree.children, S=int(root_size))
+
+
+def find_node_vol(tree: LinearOctree, id_vol: jax.Array, x, y, z):
+    """``find_node`` via the node-id volume: one gather + anchored check.
+
+    Matches ``LinearOctree.find_node`` exactly on in-cube coordinates
+    (tests/test_octree.py asserts parity); out-of-cube queries return -1
+    (callers mask those with their own bounds tests before use).
+    """
+    S = id_vol.shape[0]
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    z = jnp.asarray(z, jnp.int32)
+    inb = (x >= 0) & (y >= 0) & (z >= 0) & (x < S) & (y < S) & (z < S)
+    xc = jnp.clip(x, 0, S - 1)
+    yc = jnp.clip(y, 0, S - 1)
+    zc = jnp.clip(z, 0, S - 1)
+    nid = id_vol[zc, yc, xc]
+    # anchored <=> the query corner is aligned to the containing leaf's
+    # size (cells are size-aligned), i.e. the low `level` bits of every
+    # coordinate are zero — one level gather instead of three coord gathers
+    lvl = tree.level[nid]
+    low = (jnp.int32(1) << lvl) - 1
+    anchored = ((x | y | z) & low) == 0
+    return jnp.where(inb & anchored, nid, -1)
+
+
 def build_linear_octree(occ) -> LinearOctree:
     """Host-side (NumPy) construction of the BFS node arrays.
 

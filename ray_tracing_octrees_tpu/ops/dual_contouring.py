@@ -396,7 +396,7 @@ def _node_centers(tree, grid: VoxelGrid):
 
 
 @functools.partial(jax.jit, static_argnames=("s", "max_ratio"))
-def _pass0_level(grid, tree, ids_j, n_real, node_mask, need_vertex,
+def _pass0_level(grid, tree, id_vol, ids_j, n_real, node_mask, need_vertex,
                  s: int, max_ratio: float):
     """One level of DC pass 0 as a single program.
 
@@ -405,8 +405,21 @@ def _pass0_level(grid, tree, ids_j, n_real, node_mask, need_vertex,
     gather, AdaptiveDualContouringRenderer.cpp:683-685) + need-vertex
     scatter accumulation (including boundary-fan face neighbors).
 
+    ``id_vol`` (core/octree.py::build_node_id_volume): when given, each
+    neighbor lookup is one volume gather + anchored check instead of a
+    log2(N)-step binary search — the 15 find_node calls per id here were
+    the measured pass-0 bottleneck on Calgary (binary search = ~19 scalar
+    gathers each at the ~8 ns/element floor).
+
     Returns (surf bool[P], adj_per_dir [3 x (crossing, [(nid, ok) x 3])],
     need_vertex')."""
+    from ray_tracing_octrees_tpu.core.octree import find_node_vol
+
+    def locate(qx, qy, qz):
+        if id_vol is not None:
+            return find_node_vol(tree, id_vol, qx, qy, qz)
+        return tree.find_node(qx, qy, qz)
+
     n_nodes = tree.num_nodes
     cx = tree.x[ids_j]
     cy = tree.y[ids_j]
@@ -446,7 +459,7 @@ def _pass0_level(grid, tree, ids_j, n_real, node_mask, need_vertex,
                 (ax_ >= 0) & (ay_ >= 0) & (az_ >= 0)
                 & (ax_ < dims[0]) & (ay_ < dims[1]) & (az_ < dims[2])
             )
-            nid = tree.find_node(ax_, ay_, az_)
+            nid = locate(ax_, ay_, az_)
             nid_c = jnp.clip(nid, 0, n_nodes - 1)
             ok = (
                 inb_a
@@ -485,7 +498,7 @@ def _pass0_level(grid, tree, ids_j, n_real, node_mask, need_vertex,
             (nx_ >= 0) & (ny_ >= 0) & (nz_ >= 0)
             & (nx_ < dims[0]) & (ny_ < dims[1]) & (nz_ < dims[2])
         )
-        nid = tree.find_node(nx_, ny_, nz_)
+        nid = locate(nx_, ny_, nz_)
         nid_c = jnp.clip(nid, 0, n_nodes - 1)
         ok = fan_possible & inb_f & (nid >= 0) & tree.is_leaf[nid_c]
         need_vertex = need_vertex.at[nid_c].max(ok, mode="drop")
@@ -572,26 +585,46 @@ def _pass2_level(tree, vertex, ids_j, adj_per_dir, emitted_any,
 
 
 @jax.jit
-def _compact_lists(v_list, n_list, k_list):
-    """Device-side stream compaction of the per-level flat triangle
-    buffers into one contiguous (verts, normals) pair + live count.
+def _count_tris(k_list):
+    """Live-triangle count over the per-level keep masks (one tiny program;
+    its scalar is the only mid-extraction host sync)."""
+    return jnp.sum(jnp.concatenate(k_list).astype(jnp.int32))
 
-    One program for the whole tail (the eager form was ~15 multi-million-
-    element dispatches)."""
-    v_all = jnp.concatenate(v_list)      # [T*9]
-    n_all = jnp.concatenate(n_list)      # [T*3]
-    k_all = jnp.concatenate(k_list)      # [T]
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _compact_gather(v_list, n_list, k_list, out_cap: int):
+    """Gather-side stream compaction of the per-level flat triangle
+    buffers into a bucketed [out_cap] output (rows past the live count are
+    zero).
+
+    The scatter form built and wrote cap*9 ~ 18M-element buffers (and the
+    caller then host-fetched ALL of them: 97 MB, 4.3 s of the measured
+    6 s warm Calgary extraction). Here one iota scatter builds the kept-row
+    index list and two ROW gathers (~0.3 ns/element vs ~8 for scalar
+    scatters) produce only the bucketed output actually consumed."""
+    k_all = jnp.concatenate(k_list)                    # [T] bool
+    v_all = jnp.concatenate(v_list).reshape(-1, 9)     # [T, 9]
+    n_all = jnp.concatenate(n_list).reshape(-1, 3)     # [T, 3]
     cap = k_all.shape[0]
-    slot = jnp.cumsum(k_all) - 1
-    k9 = jnp.repeat(k_all, 9)
-    s9 = jnp.repeat(slot, 9) * 9 + jnp.tile(jnp.arange(9), cap)
-    v_c = jnp.zeros((cap * 9,), jnp.float32).at[
-        jnp.where(k9, s9, cap * 9)].set(v_all, mode="drop")
-    k3 = jnp.repeat(k_all, 3)
-    s3 = jnp.repeat(slot, 3) * 3 + jnp.tile(jnp.arange(3), cap)
-    n_c = jnp.zeros((cap * 3,), jnp.float32).at[
-        jnp.where(k3, s3, cap * 3)].set(n_all, mode="drop")
-    return v_c, n_c, jnp.sum(k_all)
+    rank = jnp.cumsum(k_all.astype(jnp.int32)) - 1
+    slot = jnp.where(k_all, jnp.minimum(rank, out_cap), out_cap)
+    ids = jnp.zeros((out_cap + 1,), jnp.int32).at[slot].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")[:out_cap]
+    valid = jnp.arange(out_cap) < jnp.sum(k_all.astype(jnp.int32))
+    v_rows = jnp.where(valid[:, None], v_all[ids], 0.0)
+    n_rows = jnp.where(valid[:, None], n_all[ids], 0.0)
+    return v_rows, n_rows
+
+
+def tree_host_meta(tree):
+    """Host copies of (is_leaf, level) for :func:`adaptive_dual_contouring`.
+
+    Per-tree constants: compute once per scene next to the octree build and
+    pass as ``tree_meta`` so repeated per-pose extractions skip the two
+    device->host pulls (~0.4 s through the tunneled runtime)."""
+    from ray_tracing_octrees_tpu.core.grid import host_fetch
+
+    return host_fetch(tree.is_leaf).astype(bool), host_fetch(tree.level)
 
 
 def adaptive_dual_contouring(
@@ -602,6 +635,9 @@ def adaptive_dual_contouring(
     qef_cfg: QEFConfig = QEFConfig(),
     dc_cfg: DCConfig = DCConfig(),
     with_boundary_fans: bool = True,
+    node_id_vol=None,
+    tree_meta=None,
+    device_out: bool = False,
 ):
     """Adaptive octree-leaf DC (createTriangles semantics, order-free).
 
@@ -611,6 +647,20 @@ def adaptive_dual_contouring(
 
     node_mask: optional bool[N] visibility (frustum culling at margin 50,
     as renderOctree applies before calling render(), main.cpp:154-189).
+
+    node_id_vol: optional i32[S,S,S] from core.octree.build_node_id_volume
+    — turns every neighbor lookup into one gather (same results; scene
+    preprocessing, like the reference's g_octreeMap registered during the
+    octree build).
+
+    tree_meta: optional (is_leaf, level) host pair from
+    :func:`tree_host_meta` (skips two per-call device->host pulls).
+
+    device_out: return device-resident (verts f32[K,3,3], normals f32[K,3],
+    count) with K >= count a padded bucket and rows past count zeroed —
+    the production path for on-device consumers (the rasterizer; the
+    reference's analog hands the triangle vector straight to a VBO).
+    Default False returns exact-count arrays via a host round trip.
     """
     import numpy as _np
 
@@ -619,8 +669,10 @@ def adaptive_dual_contouring(
     # host_fetch, NOT np.asarray: raw narrow-dtype unaligned fetches run at
     # seconds/MB through the tunneled runtime — these two bool[N] pulls were
     # most of the measured 21.7 s warm Calgary extraction (LADDER_r02).
-    leaf = host_fetch(tree.is_leaf).astype(bool)
-    level = host_fetch(tree.level)
+    if tree_meta is not None:
+        leaf, level = tree_meta
+    else:
+        leaf, level = tree_host_meta(tree)
     n_nodes = tree.num_nodes
 
     def _pad_pow2(ids, lo=64):
@@ -651,8 +703,8 @@ def adaptive_dual_contouring(
         s = 1 << k
         mask_arg = node_mask if node_mask is not None else None
         surf, adj_per_dir, need_vertex = _pass0_level(
-            grid, tree, ids_j, jnp.int32(n_real), mask_arg, need_vertex,
-            s=s, max_ratio=float(dc_cfg.max_size_ratio),
+            grid, tree, node_id_vol, ids_j, jnp.int32(n_real), mask_arg,
+            need_vertex, s=s, max_ratio=float(dc_cfg.max_size_ratio),
         )
         surface_by_level[k] = (ids_j, surf)
         adj_ids_by_level[k] = adj_per_dir
@@ -672,17 +724,31 @@ def adaptive_dual_contouring(
         )
         vertex = _pass1_level(grid, tree, vertex, ids_j, s, stride, qef_cfg)
 
-    # ---- pass 2: triangle emission per level -------------------------------------
+    # ---- pass 2: triangle emission, ALL levels as one program --------------------
+    # _pass2_level's math never uses the level size, so every level's
+    # (ids, adjacency) rows concatenate into a single call — the per-level
+    # form paid a ~30 ms remote-dispatch floor per level.
     out_verts = []
     out_normals = []
     emitted_any = jnp.zeros((n_nodes,), bool)
 
-    for k in levels_present:
-        if k not in adj_ids_by_level:
-            continue
-        ids_j, surf = surface_by_level[k]
+    lvls2 = [k for k in levels_present if k in adj_ids_by_level]
+    if lvls2:
+        ids_cat = jnp.concatenate([surface_by_level[k][0] for k in lvls2])
+        adj_cat = []
+        for d in range(3):
+            crossing = jnp.concatenate(
+                [adj_ids_by_level[k][d][0] for k in lvls2])
+            infos = []
+            for j in range(3):
+                nid = jnp.concatenate(
+                    [adj_ids_by_level[k][d][1][j][0] for k in lvls2])
+                ok = jnp.concatenate(
+                    [adj_ids_by_level[k][d][1][j][1] for k in lvls2])
+                infos.append((nid, ok))
+            adj_cat.append((crossing, infos))
         v_flat, n_flat, k_flat, emitted_any = _pass2_level(
-            tree, vertex, ids_j, adj_ids_by_level[k], emitted_any,
+            tree, vertex, ids_cat, adj_cat, emitted_any,
             area_eps=float(dc_cfg.degenerate_area_eps),
         )
         out_verts.append((v_flat, k_flat))
@@ -692,75 +758,78 @@ def adaptive_dual_contouring(
     if with_boundary_fans:
         fan_v, fan_n, fan_k = _boundary_face_fans(
             grid, tree, vertex, surface_by_level, emitted_any, dc_cfg,
-            _pad_pow2,
+            _pad_pow2, id_vol=node_id_vol,
         )
         if fan_v is not None:
             out_verts.append((fan_v, fan_k))
             out_normals.append(fan_n)
 
-    # ---- device-side compaction (flat layouts), ONE host fetch -------------------
+    # ---- device-side compaction into a bucketed buffer ---------------------------
     from ray_tracing_octrees_tpu.core.grid import host_fetch
 
     if not out_verts:
         z = _np.zeros((0, 3, 3), _np.float32)
         return jnp.asarray(z), jnp.asarray(z[:, :, 0]), 0
-    v_c, n_c, total_dev = _compact_lists(
-        [v for v, _ in out_verts], out_normals, [k for _, k in out_verts]
+    k_list = [k for _, k in out_verts]
+    total = int(host_fetch(_count_tris(k_list)))
+    # bucket the output cap (multiples of 64k: one cached program per
+    # scene-scale, and the host fetch moves only ~total rows, not the
+    # ~2M-row padded emission buffers)
+    out_cap = max(4096, -(-max(total, 1) // 65536) * 65536)
+    v_rows, n_rows = _compact_gather(
+        [v for v, _ in out_verts], out_normals, k_list, out_cap=out_cap
     )
-    total = int(total_dev)
-    verts = host_fetch(v_c)[: total * 9].reshape(-1, 3, 3)
-    normals = host_fetch(n_c)[: total * 3].reshape(-1, 3)
+    if device_out:
+        return v_rows.reshape(-1, 3, 3), n_rows, total
+    verts = host_fetch(v_rows)[:total].reshape(-1, 3, 3)
+    normals = host_fetch(n_rows)[:total]
     return jnp.asarray(verts), jnp.asarray(normals), total
 
 
 def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any,
-                        dc_cfg, _pad_pow2):
+                        dc_cfg, _pad_pow2, id_vol=None):
     """createFaceTriangles (AdaptiveDualContouringRenderer.cpp:805-1088) for
     surface leaves that emitted nothing and touch the grid boundary.
 
-    Fan candidates are HOST-compacted per level before the 192-triangles-
-    per-cell expansion (each level's fan emission is E * 192 triangles —
-    expanding the full padded level instead of the handful of eligible
-    boundary cells cost tens of millions of padded rows)."""
+    Fan candidates are HOST-compacted before the 192-triangles-per-cell
+    expansion (each fan emission is E * 192 triangles — expanding the full
+    padded level instead of the handful of eligible boundary cells cost
+    tens of millions of padded rows). All levels run as ONE eligibility
+    program + ONE fan program (sizes are per-row arrays): per-level calls
+    paid a ~30 ms remote-dispatch floor each on the tunneled runtime."""
     import numpy as _np
 
     from ray_tracing_octrees_tpu.core.grid import host_fetch
 
-    fan_verts = []
-    fan_normals = []
-    fan_keep = []
-
-    for k, (ids_j, surf) in surface_by_level.items():
-        s = 1 << k
-        at_boundary = _fan_eligible(grid, tree, ids_j, emitted_any, surf, s)
-        elig_np = host_fetch(at_boundary)
-        sel = _np.nonzero(elig_np)[0].astype(_np.int32)
-        if len(sel) == 0:
-            continue
-        sel, n_real = _pad_pow2(sel, lo=64)
-        ids_lvl = ids_j[jnp.asarray(sel)]
-        eligible = jnp.arange(len(sel)) < n_real
-        v, n, keep = _fan_level(
-            grid, tree, vertex, ids_lvl, eligible, jnp.int32(s),
-            divisions=int(dc_cfg.face_fan_divisions),
-            max_ratio=float(dc_cfg.max_size_ratio),
-        )
-        fan_verts.append(v)
-        fan_normals.append(n)
-        fan_keep.append(keep)
-
-    if not fan_verts:
+    lvls = sorted(surface_by_level)
+    if not lvls:
         return None, None, None
-    return (
-        jnp.concatenate(fan_verts), jnp.concatenate(fan_normals),
-        jnp.concatenate(fan_keep),
+    ids_cat = jnp.concatenate([surface_by_level[k][0] for k in lvls])
+    surf_cat = jnp.concatenate([surface_by_level[k][1] for k in lvls])
+    s_cat = jnp.concatenate([
+        jnp.full(surface_by_level[k][0].shape, 1 << k, jnp.int32)
+        for k in lvls
+    ])
+    elig = _fan_eligible(grid, tree, ids_cat, emitted_any, surf_cat, s_cat)
+    elig_np = host_fetch(elig).astype(bool)
+    sel = _np.nonzero(elig_np)[0].astype(_np.int32)
+    if len(sel) == 0:
+        return None, None, None
+    sel, n_real = _pad_pow2(sel, lo=64)
+    sel_j = jnp.asarray(sel)
+    return _fan_level(
+        grid, tree, vertex, id_vol, ids_cat[sel_j],
+        jnp.arange(len(sel)) < n_real, s_cat[sel_j],
+        divisions=int(dc_cfg.face_fan_divisions),
+        max_ratio=float(dc_cfg.max_size_ratio),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("s",))
-def _fan_eligible(grid, tree, ids_j, emitted_any, surf, s: int):
+@jax.jit
+def _fan_eligible(grid, tree, ids_j, emitted_any, surf, s):
     """Fan candidacy per surface leaf: emitted nothing + touches the grid
-    boundary (one program; feeds the host compaction)."""
+    boundary (one program over ALL levels — ``s`` is a per-row array;
+    feeds the host compaction)."""
     dx, dy, dz = grid.dims_xyz
     cx, cy, cz = tree.x[ids_j], tree.y[ids_j], tree.z[ids_j]
     at_boundary = (
@@ -771,18 +840,20 @@ def _fan_eligible(grid, tree, ids_j, emitted_any, surf, s: int):
 
 
 @functools.partial(jax.jit, static_argnames=("divisions", "max_ratio"))
-def _fan_level(grid, tree, vertex, ids_j, eligible, s,
+def _fan_level(grid, tree, vertex, id_vol, ids_j, eligible, s,
                divisions: int, max_ratio: float):
-    """One level of boundary-fan emission as a single program.
+    """Boundary-fan emission as a single program over ALL levels.
 
-    ``s`` is TRACED (it only enters arithmetic), so every level shares one
-    compiled program per id-bucket shape — the eager form issued ~400
-    dispatches per level (192 emits x 2 ops), which dominated the warm
-    extraction on remote-dispatch runtimes.
+    ``s`` is a TRACED per-row array (it only enters arithmetic), so every
+    level's candidates batch into one call — the eager per-level form
+    issued ~400 dispatches per level (192 emits x 2 ops), which dominated
+    the warm extraction on remote-dispatch runtimes.
 
     Returns flat (verts [E*9], normals [E*3], keep [E]) with
     E = P * 6 faces * divisions^2 * 8 triangles."""
     import numpy as _np
+
+    from ray_tracing_octrees_tpu.core.octree import find_node_vol
 
     dx, dy, dz = grid.dims_xyz
     n_nodes = tree.num_nodes
@@ -805,6 +876,8 @@ def _fan_level(grid, tree, vertex, ids_j, eligible, s,
         cx, cy, cz = tree.x[ids_j], tree.y[ids_j], tree.z[ids_j]
         v_self = vertex[ids_j]
         solid_self = tree.is_solid[ids_j]
+        # per-row half-extent [P, 1] (s is per-row now)
+        half = (0.5 * s.astype(jnp.float32) * grid.voxel_size)[:, None]
 
         for f in range(6):
             fd = face_dirs[f]
@@ -816,7 +889,10 @@ def _fan_level(grid, tree, vertex, ids_j, eligible, s,
                 (nx >= 0) & (ny >= 0) & (nz >= 0)
                 & (nx < dx) & (ny < dy) & (nz < dz)
             )
-            nid = tree.find_node(nx, ny, nz)
+            if id_vol is not None:
+                nid = find_node_vol(tree, id_vol, nx, ny, nz)
+            else:
+                nid = tree.find_node(nx, ny, nz)
             nid_c = jnp.clip(nid, 0, n_nodes - 1)
             found_leaf = (nid >= 0) & tree.is_leaf[nid_c]
             ratio_bad = found_leaf & (
@@ -837,12 +913,9 @@ def _fan_level(grid, tree, vertex, ids_j, eligible, s,
             )
 
             # neighbor vertex: leaf's own vertex, else its center at self size
-            nb_center = grid.grid_to_world(nx, ny, nz) + (
-                0.5 * s * grid.voxel_size
-            )
+            nb_center = grid.grid_to_world(nx, ny, nz) + half
             v_nb = jnp.where(found_leaf[:, None], vertex[nid_c], nb_center)
 
-            half = 0.5 * s * grid.voxel_size
             t1v, t2v = tangents[axis]
             t1v = jnp.asarray(t1v)
             t2v = jnp.asarray(t2v)

@@ -156,6 +156,7 @@ class Application:
         self.grid = grid if grid is not None else load_scene(self.config, search_dirs)
         self.pyramid = build_pyramid(self.grid.occ)
         self.tree = build_linear_octree(self.grid.occ)
+        self._dc_accel = None  # lazy (node_id_vol, tree_meta) for adaptive DC
         self.mc = MarchingCubesRenderer(self.config)
         self.blocks = VoxelBlockRenderer(self.config)
         self.raytracer = OctreeRayTracer(self.config)
@@ -257,8 +258,20 @@ class Application:
                     self.tree, self.grid.origin, self.grid.voxel_size, vp,
                     self.config.extraction_frustum_margin,
                 )
+                if self._dc_accel is None:
+                    # per-scene acceleration (the g_octreeMap analog +
+                    # host tree metadata), built on first DC extraction
+                    from ray_tracing_octrees_tpu.core.octree import build_node_id_volume
+                    from ray_tracing_octrees_tpu.ops.dual_contouring import tree_host_meta
+
+                    self._dc_accel = (
+                        build_node_id_volume(self.tree),
+                        tree_host_meta(self.tree),
+                    )
                 verts, normals, count = adaptive_dual_contouring(
-                    self.grid, self.tree, node_mask=mask
+                    self.grid, self.tree, node_mask=mask,
+                    node_id_vol=self._dc_accel[0],
+                    tree_meta=self._dc_accel[1],
                 )
             self.tri_cache.save(self.camera, aspect, verts, normals, int(count))
             self.force_dc_regenerate = False

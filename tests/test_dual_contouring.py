@@ -129,3 +129,34 @@ def test_adaptive_dc_sphere_sanity():
     assert np.isfinite(v).all()
     n = np.asarray(normals)[:count]
     np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+
+
+def test_adaptive_dc_node_id_volume_paths_match(rng):
+    """id-volume neighbor lookups, tree_meta, and device_out must all
+    reproduce the baseline extraction exactly (same triangles, same
+    order)."""
+    from ray_tracing_octrees_tpu.core.octree import build_node_id_volume
+    from ray_tracing_octrees_tpu.ops.dual_contouring import tree_host_meta
+
+    occ = (rng.random((9, 7, 8)) < 0.35).astype(np.uint8)
+    g, _ = make(occ, origin=(0.5, -2.0, 1.0), vs=0.5)
+    tree = build_linear_octree(occ)
+    v0, n0, c0 = adaptive_dual_contouring(g, tree)
+
+    id_vol = build_node_id_volume(tree)
+    meta = tree_host_meta(tree)
+    v1, n1, c1 = adaptive_dual_contouring(
+        g, tree, node_id_vol=id_vol, tree_meta=meta
+    )
+    assert int(c1) == int(c0)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n0))
+
+    v2, n2, c2 = adaptive_dual_contouring(
+        g, tree, node_id_vol=id_vol, tree_meta=meta, device_out=True
+    )
+    assert int(c2) == int(c0)
+    # bucketed device output: first count rows match, the rest are zero
+    np.testing.assert_array_equal(np.asarray(v2)[: int(c0)], np.asarray(v0))
+    np.testing.assert_array_equal(np.asarray(n2)[: int(c0)], np.asarray(n0))
+    assert not np.asarray(v2)[int(c0):].any()

@@ -159,3 +159,33 @@ def test_get_neighbors_matches_oracle(rng):
                 k = nb[i, j]
                 assert k >= 0
                 assert (xs[k], ys[k], zs[k]) == (ref.x, ref.y, ref.z)
+
+
+def test_find_node_vol_matches_binary_search():
+    """build_node_id_volume + find_node_vol == LinearOctree.find_node on
+    every in-cube corner (leaf corners, interior corners, and random
+    non-anchored coordinates)."""
+    import jax.numpy as jnp
+
+    from ray_tracing_octrees_tpu.core.octree import (
+        build_linear_octree,
+        build_node_id_volume,
+        find_node_vol,
+    )
+
+    rng = np.random.default_rng(7)
+    occ = (rng.random((16, 16, 16)) < 0.3).astype(np.uint8)
+    tree = build_linear_octree(occ)
+    id_vol = build_node_id_volume(tree)
+    S = id_vol.shape[0]
+
+    # all node corners + random coords (anchored and not)
+    xs = np.concatenate([np.asarray(tree.x), rng.integers(0, S, 500)])
+    ys = np.concatenate([np.asarray(tree.y), rng.integers(0, S, 500)])
+    zs = np.concatenate([np.asarray(tree.z), rng.integers(0, S, 500)])
+    xj = jnp.asarray(xs, jnp.int32)
+    yj = jnp.asarray(ys, jnp.int32)
+    zj = jnp.asarray(zs, jnp.int32)
+    ref = np.asarray(tree.find_node(xj, yj, zj))
+    got = np.asarray(find_node_vol(tree, id_vol, xj, yj, zj))
+    np.testing.assert_array_equal(got, ref)
