@@ -155,6 +155,7 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
     # exact-semantics tracer for reference (small frame, extrapolated rate);
     # skippable for tight time budgets
     exact_mrays = None
+    exact_path = None
     try:
         if skip_exact or time.time() - T_START > time_budget_s:
             raise RuntimeError("skipped")
@@ -175,6 +176,52 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         )
 
         lv = jax.block_until_ready(build_leaf_volume(pyr))
+
+        # Preferred path: the SWEEP-EXACT tracer (trace/sweep_exact.py) —
+        # detection bit-field sweep + exact per-pixel ray/AABB consume
+        # rounds, same reference semantics (tests/test_sweep_exact.py
+        # asserts parity with trace_octree up to sub-nudge grazing
+        # crossings the DDA oracle itself skips). Falls back to the
+        # gather-DDA ladder below for poses outside its envelope.
+        res = os.environ.get("RTO_BENCH_EXACT_RES", "960x540")
+        sw, sh_ = (int(x) for x in res.split("x"))
+        try:
+            from ray_tracing_octrees_tpu.trace.sweep_exact import (
+                build_shadow_field,
+                render_exact_frame,
+            )
+
+            vs_f = float(np.asarray(host_fetch(grid.voxel_size)))
+            org_np = np.asarray(host_fetch(grid.origin))
+            sfld = build_shadow_field(vol, light_dir, vs_f)
+
+            def f_sweep():
+                return render_exact_frame(
+                    vol, lv, org_np, vs_f, cam.get_pos(), cam.get_view(),
+                    sw, sh_, 45.0, aspect, light_dir=light_dir,
+                    shadows=True, shadow_field=sfld)
+
+            out = f_sweep()
+            if out is not None and sfld is not None:
+                jax.block_until_ready(out)
+                ex_iters = 4
+                t0 = time.perf_counter()
+                for _ in range(ex_iters):
+                    cam.phi += 1e-4
+                    out = f_sweep()
+                jax.block_until_ready(out)
+                cam.phi -= 1e-4 * ex_iters
+                exact_mrays = round(
+                    sw * sh_ * 2 * ex_iters
+                    / (time.perf_counter() - t0) / 1e6, 3)
+                exact_path = "sweep"
+                _log(f"exact(sweep) {exact_mrays} Mrays/s")
+        except Exception as e:
+            _log(f"sweep-exact failed: {e!r}")
+
+        if exact_path is not None:
+            raise StopIteration   # caught below; result already recorded
+
         dil = jax.block_until_ready(dilate_occupancy(vol))
         # shadow prune disabled: with the shallow city light ~99% of
         # voxels legitimately see solid toward it (zero rays pruned,
@@ -183,8 +230,6 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         # 960x540 default amortizes the per-frame sweeps without risking a
         # cold full-1080p compile inside the driver's bench window;
         # override with RTO_BENCH_EXACT_RES=WxH.
-        res = os.environ.get("RTO_BENCH_EXACT_RES", "960x540")
-        sw, sh_ = (int(x) for x in res.split("x"))
         n_rays = sw * sh_
         # Deep compaction schedules (tools/exp_exact_probe6/7, measured on
         # chip): (0, N/2) compacts on the seed mask BEFORE stepping (~60%+
@@ -234,6 +279,9 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         cam.phi -= 1e-4 * ex_iters
         exact_mrays = round(
             sw * sh_ * 2 * ex_iters / (time.perf_counter() - t0) / 1e6, 3)
+        exact_path = "dda"
+    except StopIteration:
+        pass
     except Exception:
         pass
 
@@ -247,6 +295,7 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         "hit_fraction": round(hit_frac, 4),
         "parity_vs_exact": parity,
         "exact_tracer_mrays": exact_mrays,
+        "exact_tracer_path": exact_path,
         "scene": os.path.basename(scene) if scene else "sphere256",
         "backend": jax.default_backend(),
     }

@@ -264,7 +264,8 @@ _MT_EPS = 1e-7
 
 def _sweep_candidates(detect_sw, hats, n_chunks: int,
                       s_valid: int, a_size: int, b_size: int,
-                      inter_h: int, inter_w: int, flip: bool):
+                      inter_h: int, inter_w: int, flip: bool,
+                      exact_acc: bool = False):
     """ONE detection sweep builds the whole frame's candidate field.
 
     A texel's ray moves laterally by a CONSTANT (slope_a, slope_b) =
@@ -306,7 +307,10 @@ def _sweep_candidates(detect_sw, hats, n_chunks: int,
         sl = jax.lax.dynamic_slice_in_dim(detect_sw, ci * CH, CH, 0)
         amc = jax.lax.dynamic_slice_in_dim(am_f, ci * CH, CH, 0)
         bmc = jax.lax.dynamic_slice_in_dim(bm_f, ci * CH, CH, 0)
-        hb = jnp.einsum("cab,cha->cbh", sl, ma, preferred_element_type=bf16)
+        # exact_acc: wide-tap masks (trace/sweep_exact.py 5-tap axes)
+        # carry partial sums past bf16's mantissa; accumulate f32 then.
+        hb = jnp.einsum("cab,cha->cbh", sl, ma,
+                        preferred_element_type=f32 if exact_acc else bf16)
         det = jnp.einsum("cbh,cwb->chw", hb, mb, preferred_element_type=f32)
 
         # 9-bit neighborhood mask AND the exact separable footprint mask

@@ -1,0 +1,250 @@
+"""Sweep-exact tracer vs the gather-DDA oracle (trace/octree_trace.py).
+
+The sweep-exact tracer must reproduce trace_octree's reference semantics
+(first solid-leaf entry t, normalize(p - nodeCenter) normals,
+RayTracerBVH.cpp:239-327,283-287) per PIXEL ray — no warp, no
+nearest-texel approximation. Known benign divergence, asserted here: the
+DDA oracle advances by a ~1e-3-voxel nudge and can skip a grazing corner
+crossing shorter than that; the sweep tests exact ray/AABB intervals and
+reports such hits. Every observed mismatch must therefore be a genuine
+(float64-verified) crossing of width < 2e-3 voxels that the oracle
+skipped.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ray_tracing_octrees_tpu.core.octree import (
+    build_leaf_volume,
+    build_pyramid,
+)
+from ray_tracing_octrees_tpu.models.octree_raytracer import (
+    render_octree_image,
+)
+from ray_tracing_octrees_tpu.render.camera import Camera, generate_rays
+from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree
+from ray_tracing_octrees_tpu.trace.sweep_exact import (
+    build_shadow_field,
+    render_exact_frame,
+    trace_pixels_sweep_exact,
+)
+
+ORIGIN = np.array([-20.0, -16.0, -12.0], np.float32)
+VS = 1.0
+W, H = 96, 72
+LIGHT = (-0.5, -0.9, -0.4)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(0)
+    occ = (rng.random((24, 32, 40)) < 0.08).astype(np.uint8)
+    vol = (jnp.asarray(occ) > 0).astype(jnp.float32)
+    pyr = build_pyramid(jnp.asarray(occ))
+    lv = jax.block_until_ready(build_leaf_volume(pyr))
+    return occ, vol, pyr, lv
+
+
+def _cam(theta, phi, radius):
+    cam = Camera(theta=theta, phi=phi, radius=radius)
+    cam.target = np.zeros(3, np.float32)
+    return cam
+
+
+def _assert_mismatches_are_grazing(mism_idx, o, d, res, ref, occ):
+    """Every hit-mask mismatch must be a genuine sub-nudge crossing the
+    DDA oracle skipped (float64 ray/AABB check of the sweep's voxel, or
+    of the first solid voxel between the two reported depths)."""
+    o64 = np.asarray(o, np.float64)
+    d64 = np.asarray(d, np.float64)
+    dz, dy, dx = occ.shape
+    for i in mism_idx:
+        # the sweep-reported hit (sweep-only) or scan along the ref ray
+        found = False
+        t_lo = 0.0
+        t_hi = float(max(np.asarray(res["t"])[i], np.asarray(ref["t"])[i]))
+        # scan candidate voxels along the ray in fine steps (test scenes
+        # are tiny; fine stepping is cheap and conclusive)
+        for t in np.arange(t_lo, t_hi + 1.0, 2.5e-4):
+            p = o64[i] + d64[i] * t
+            v = np.floor((p - ORIGIN) / VS).astype(int)
+            if (v < 0).any() or v[2] >= dz or v[1] >= dy or v[0] >= dx:
+                continue
+            if occ[v[2], v[1], v[0]]:
+                lo = ORIGIN + v
+                t0 = (lo - o64[i]) / d64[i]
+                t1 = (lo + 1.0 - o64[i]) / d64[i]
+                tin = np.minimum(t0, t1).max()
+                tout = np.maximum(t0, t1).min()
+                width = tout - tin
+                assert width < 2e-3, (
+                    f"ray {i}: mismatch not a grazing crossing "
+                    f"(width {width})")
+                found = True
+                break
+        assert found, f"ray {i}: mismatch with no solid crossing found"
+
+
+@pytest.mark.parametrize("pose", [(0.7, 0.5, 120.0), (1.1, 1.0, 70.0)])
+def test_primary_matches_dda_oracle(scene, pose):
+    occ, vol, pyr, lv = scene
+    cam = _cam(*pose)
+    res = trace_pixels_sweep_exact(vol, lv, ORIGIN, VS, cam.get_pos(),
+                                   cam.get_view(), W, H, 45.0, W / H)
+    assert res is not None, "exterior pose must be supported"
+    o, d = generate_rays(W, H, jnp.asarray(cam.get_pos(), jnp.float32),
+                         jnp.asarray(cam.get_view(), jnp.float32),
+                         45.0, W / H)
+    ref = trace_octree(pyr, o, d, jnp.asarray(ORIGIN), jnp.float32(VS))
+    h1 = np.asarray(res["hit"])
+    h2 = np.asarray(ref["hit"])
+    assert int(res["overflow"]) == 0
+    assert int(res["unresolved"]) == 0
+    mism = np.nonzero(h1 != h2)[0]
+    # the sweep may resolve grazing crossings the nudged DDA skips —
+    # never the reverse, and never more than a handful
+    assert len(mism) <= 3
+    assert not (h2 & ~h1).any(), "sweep must never miss an oracle hit"
+    _assert_mismatches_are_grazing(mism, o, d, res, ref, occ)
+    both = h1 & h2
+    np.testing.assert_allclose(np.asarray(res["t"])[both],
+                               np.asarray(ref["t"])[both],
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res["normal"])[both],
+                               np.asarray(ref["normal"])[both],
+                               rtol=0, atol=1e-3)
+
+
+def test_frame_matches_render_octree_image(scene):
+    occ, vol, pyr, lv = scene
+    sf = build_shadow_field(vol, LIGHT, VS)
+    assert sf is not None
+    cam = _cam(0.7, 0.5, 120.0)
+    out = render_exact_frame(vol, lv, ORIGIN, VS, cam.get_pos(),
+                             cam.get_view(), W, H, 45.0, W / H,
+                             light_dir=LIGHT, shadows=True,
+                             shadow_field=sf)
+    assert out is not None
+    img, stats = out
+    ref = render_octree_image(
+        pyr, jnp.asarray(ORIGIN), jnp.float32(VS),
+        jnp.asarray(cam.get_pos(), jnp.float32),
+        jnp.asarray(cam.get_view(), jnp.float32), W, H,
+        jnp.float32(45.0), jnp.float32(W / H), light_dir=LIGHT,
+        shadows=True, leaf_vol=lv)
+    diff = np.abs(np.asarray(img) - np.asarray(ref)).max(axis=-1)
+    assert int(stats["s_unresolved"]) == 0
+    assert int(stats["s_overflow"]) == 0
+    # tolerance: at most a couple of grazing-crossing pixels may differ
+    assert (diff > 1e-4).sum() <= 2
+
+
+def test_coarse_lattice_stays_exact(scene):
+    """The superset invariant is lattice-resolution independent: a very
+    coarse detection lattice must still produce exact per-pixel hits
+    (only the candidate sets grow)."""
+    occ, vol, pyr, lv = scene
+    cam = _cam(0.2, 2.2, 90.0)
+    res = trace_pixels_sweep_exact(vol, lv, ORIGIN, VS, cam.get_pos(),
+                                   cam.get_view(), W, H, 45.0, W / H)
+    fine = np.asarray(res["hit"])
+    # rebuild with a coarse lattice via max_inter
+    from ray_tracing_octrees_tpu.trace import sweep_exact as se
+
+    ok, cfg = se.sweep_exact_setup(vol, ORIGIN, VS, cam.get_pos(),
+                                   cam.get_view(), max_inter=128)
+    assert ok
+    scal = cfg["scal_np"].copy()
+    scal[8], scal[9] = 45.0, W / H
+    res_c = se._trace_pixels_jit(
+        cfg["occ_sw"], cfg["nb9"], jnp.asarray(lv).reshape(-1),
+        jnp.asarray(scal), cfg["axis_world"], cfg["flip"], cfg["S"],
+        cfg["A"], cfg["B"], cfg["IH"], cfg["IW"], W, H,
+        int(lv.shape[0]))
+    assert int(res_c["overflow"]) == 0
+    assert int(res_c["unresolved"]) == 0
+    np.testing.assert_array_equal(np.asarray(res_c["hit"]), fine)
+    both = fine & np.asarray(res_c["hit"])
+    np.testing.assert_allclose(np.asarray(res_c["t"])[both],
+                               np.asarray(res["t"])[both],
+                               rtol=0, atol=1e-4)
+
+
+def test_shadow_occlusion_matches_dda(scene):
+    """Exact shadow occlusion == tracing the shadow rays with the DDA
+    oracle from the same offset origins (trace_octree semantics)."""
+    occ, vol, pyr, lv = scene
+    sf = build_shadow_field(vol, LIGHT, VS)
+    cam = _cam(1.1, 1.0, 70.0)
+    res = trace_pixels_sweep_exact(vol, lv, ORIGIN, VS, cam.get_pos(),
+                                   cam.get_view(), W, H, 45.0, W / H)
+    hit = np.asarray(res["hit"])
+    point = np.asarray(res["point"])
+    nrm = np.asarray(res["normal"])
+    l = np.asarray(LIGHT, np.float64)
+    l = (l / np.linalg.norm(l)).astype(np.float32)
+    shadow_o = point + nrm * (VS * 2.0)
+    shadow_d = np.broadcast_to(-l[None, :], shadow_o.shape)
+    # oracle: DDA-trace only the live rows (dead rows' origins are 0)
+    ref = trace_octree(pyr, jnp.asarray(shadow_o), jnp.asarray(shadow_d),
+                       jnp.asarray(ORIGIN), jnp.float32(VS))
+    occl_ref = np.asarray(ref["hit"]) & hit
+
+    from ray_tracing_octrees_tpu.trace import sweep_exact as se
+
+    sf_meta = (sf.axis_l, sf.flip_l, sf.S, sf.A, sf.B, sf.sp,
+               sf.aa_min, sf.aa_span, sf.ab_min, sf.ab_span,
+               sf.inter_h, sf.inter_w, sf.sa, sf.sb, sf.ta, sf.tb)
+    o_vox = (shadow_o - ORIGIN[None, :]) / VS
+    occl, rounds, over, unres = jax.jit(
+        se._shadow_occluded, static_argnames=("meta",))(
+        sf.bits, sf.nb9, sf.l_sab, jnp.asarray(o_vox), jnp.asarray(hit),
+        meta=sf_meta)
+    assert int(over) == 0
+    assert int(unres) == 0
+    occl = np.asarray(occl)
+    mism = np.nonzero(occl != occl_ref)[0]
+    # same benign class: sweep may catch grazing crossings the nudged
+    # DDA skips
+    assert len(mism) <= 3
+    assert not (occl_ref & ~occl).any()
+
+
+def test_wider_taps_equivalent(scene):
+    """A wider tap window than required must change nothing: the 5x3
+    detection weights, 15-bit neighborhood pack, and shifted consume
+    slots all reduce to the same exact per-pixel answers (this is the
+    configuration the Calgary bench pose needs — corner-ray slopes up
+    to ~2.8 voxels/slab)."""
+    occ, vol, pyr, lv = scene
+    cam = _cam(0.7, 0.5, 120.0)
+    from ray_tracing_octrees_tpu.trace import sweep_exact as se
+
+    ok, cfg = se.sweep_exact_setup(vol, ORIGIN, VS, cam.get_pos(),
+                                   cam.get_view())
+    assert ok and cfg["ta"] == 3 and cfg["tb"] == 3
+    scal = cfg["scal_np"].copy()
+    scal[8], scal[9] = 45.0, W / H
+    leaf_flat = jnp.asarray(lv).reshape(-1)
+
+    def run(ta, tb):
+        occ_sw = cfg["occ_sw"]
+        nb = se._nb9_for(vol, cfg["axis_world"], cfg["flip"], cfg["S"],
+                         cfg["A"], cfg["B"], ta, tb)
+        return se._trace_pixels_jit(
+            occ_sw, nb, leaf_flat, jnp.asarray(scal), cfg["axis_world"],
+            cfg["flip"], cfg["S"], cfg["A"], cfg["B"], cfg["IH"],
+            cfg["IW"], W, H, int(lv.shape[0]), ta=ta, tb=tb)
+
+    r3 = run(3, 3)
+    r5 = run(5, 3)
+    np.testing.assert_array_equal(np.asarray(r5["hit"]),
+                                  np.asarray(r3["hit"]))
+    np.testing.assert_array_equal(np.asarray(r5["t"]), np.asarray(r3["t"]))
+    r35 = run(3, 5)
+    np.testing.assert_array_equal(np.asarray(r35["hit"]),
+                                  np.asarray(r3["hit"]))
+    np.testing.assert_array_equal(np.asarray(r35["t"]),
+                                  np.asarray(r3["t"]))
