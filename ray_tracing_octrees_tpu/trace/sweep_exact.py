@@ -195,15 +195,22 @@ def _widened_perspective_hats(scal_np, sp: int, s_valid: int, a_size: int,
 
 def _taps(p_all, size, r: int, weights):
     """Occupancy taps: weight w_i multiplies the cell floor(p) + (i - r)
-    (mesh_grid._build_detect_hats' 3-tap form, generalized)."""
+    (mesh_grid._build_detect_hats' 3-tap form, generalized).
+
+    The weights are powers of two with a common log2 stride (per
+    _tap_weights), so the whole [*, size] tap matrix is ONE fused
+    elementwise pass: m = exp2(stride * i) at tap index
+    i = a - floor(p) + r, zero outside [0, len(weights)) — every value a
+    power of two, bf16-exact. (The per-weight masked-add form cost ~5.5
+    ms/frame on Calgary; this form ~1 ms.)"""
     f32 = jnp.float32
-    bf16 = jnp.bfloat16
-    d = p_all[..., None] - jnp.arange(size, dtype=f32)
-    m = jnp.zeros(d.shape, bf16)
-    for i, w in enumerate(weights):
-        off = f32(i - r)
-        m = m + bf16(w) * ((d + off >= 0) & (d + off < 1)).astype(bf16)
-    return m
+    nw = len(weights)
+    stride = 0.0 if nw < 2 else float(np.log2(weights[1]))
+    d2 = (jnp.arange(size, dtype=f32)
+          - jnp.floor(p_all)[..., None] + f32(r))     # tap index per cell
+    inside = (d2 >= 0) & (d2 < nw)
+    m = jnp.where(inside, jnp.exp2(f32(stride) * d2), 0.0)
+    return m.astype(jnp.bfloat16)
 
 
 def _fmask(p_all, ext, r: int, weights):
@@ -376,7 +383,7 @@ def _consume_round(st, c_bits, ro_sab, rd_sab, nb9, s_valid: int,
 def _consume_ladder(bits, ptr0, dead0, ro_sab, rd_sab, nb9,
                     s_valid: int, a_size: int, b_size: int, flip: bool,
                     widths, round_caps, const_origin: bool,
-                    ta: int = 3, tb: int = 3):
+                    ta: int = 3, tb: int = 3, want_stage1: bool = False):
     """Run consume rounds on a gather-only compaction ladder.
 
     ``widths``: static row counts of the successive stages (stage 0 =
@@ -389,6 +396,17 @@ def _consume_ladder(bits, ptr0, dead0, ro_sab, rd_sab, nb9,
 
     Returns (state_full_width, rounds, overflow): survivors beyond a
     stage width stay behind unresolved (counted in overflow).
+
+    ``want_stage1`` (requires round_caps[0] == 0 and >= 2 widths):
+    return instead (state1, map1, rounds, overflow) with the COMPLETE
+    result set still compacted at stage-1 width M1 = widths[1] — since
+    stage 0 runs no rounds, every hit lives in stage 1's index space, so
+    callers can run per-hit epilogues (leaf normals, shadow rays,
+    shading) at M1 instead of full width and merge once at the very end
+    via ``map1`` = dict(unres [N] stage-1 membership mask, rank [N]
+    stage-1 row of each member, M, rd [M1, 3], ro [M1, 3]). Rows dead at
+    entry (seed-killed misses) never enter stage 1 and need no epilogue;
+    rows beyond M1 are the already-counted overflow.
     """
     f32 = jnp.float32
     i32 = jnp.int32
@@ -458,7 +476,8 @@ def _consume_ladder(bits, ptr0, dead0, ro_sab, rd_sab, nb9,
                          tgts[si + 1] if si + 1 < len(tgts) else 0,
                          bits_s, ptr_s, ~row_valid, ro_s, rd_s)
         rounds = st_l.pop("rounds_t")
-        entries.append(dict(unres=unres, rank=rank, M=M, st=st_l))
+        entries.append(dict(unres=unres, rank=rank, M=M, st=st_l,
+                            rd=rd_s, ro=ro_s))
         prev = dict(resolved=st_l["resolved"], ptr=st_l["ptr"],
                     bits=bits_s, ro=ro_s, rd=rd_s, width=M)
 
@@ -481,6 +500,18 @@ def _consume_ladder(bits, ptr0, dead0, ro_sab, rd_sab, nb9,
         out["resolved"] = jnp.where(take, rows[:, 6] != 0, dst["resolved"])
         return out
 
+    if want_stage1:
+        assert entries and caps[0] == 0, \
+            "stage-1 epilogue needs caps[0] == 0 and a compacted stage"
+        merged = entries[-1]["st"]
+        for i in range(len(entries) - 2, -1, -1):
+            merged = merge_back(entries[i]["st"], entries[i + 1]["unres"],
+                                entries[i + 1]["rank"], merged,
+                                entries[i + 1]["M"])
+        map1 = dict(unres=entries[0]["unres"], rank=entries[0]["rank"],
+                    M=entries[0]["M"], rd=entries[0]["rd"],
+                    ro=entries[0]["ro"])
+        return merged, map1, rounds, overflow
     if entries:
         merged = entries[-1]["st"]
         for i in range(len(entries) - 2, -1, -1):
@@ -696,27 +727,48 @@ def sweep_exact_setup(volume, grid_origin, voxel_size, camera_pos, view,
 
 
 def _primary_ladder(n: int, sp: int):
-    widths = (n, max(2048, (n * 5) // 8), max(1024, n // 4),
-              max(1024, n // 8), max(512, n // 16), max(512, n // 32),
-              max(256, n // 64))
-    caps = (0, 3, 5, 7, 10, 14, 14 + sp)
+    """Stage widths/caps tuned to the MEASURED survivor decay on Calgary
+    960x540 (tools probe, round-3): live after the seed kill 27.6% of N,
+    then 8.4% -> 1.9% -> 0.5% per consume round — so one stage at ~0.36N
+    absorbs the live set with margin, two rounds there leave <2%, and the
+    tail exhausts at ~0.05N/0.01N. The old 6-stage schedule paid ~2x the
+    round rows and 1.08M scatter elements in compactions alone. Caps are
+    cumulative; every ladder ends at cap >= sp so exactness never depends
+    on the schedule (overflow is counted, not dropped)."""
+    widths = (n, max(2048, int(n * 0.36)), max(1024, n // 20),
+              max(512, n // 112))
+    caps = (0, 2, 4, 4 + sp)
     return widths, caps
 
 
 def _shadow_ladder(n: int, sp: int):
-    widths = (n, max(2048, n // 2), max(1024, n // 8),
-              max(512, n // 32), max(256, n // 64))
-    caps = (0, 3, 6, 10, 10 + sp)
+    """Shadow survivor decay (same probe): live 24% of N, then 3% ->
+    0.37% -> 0.04% — faster than primary (the shallow city light exits
+    the volume quickly), so stages shrink harder."""
+    widths = (n, max(2048, int(n * 0.30)), max(1024, int(n * 0.035)),
+              max(512, n // 200))
+    caps = (0, 1, 3, 3 + sp)
     return widths, caps
 
 
 def _primary_core(occ_sw, nb9, scal, axis_world: int, flip: bool,
                   S: int, A: int, B: int, IH: int, IW: int,
-                  width: int, height: int, ta: int = 3, tb: int = 3):
+                  width: int, height: int, ta: int = 3, tb: int = 3,
+                  stage1: bool = False):
     """Shared jit body: detection sweep + per-pixel exact consume.
 
     Returns (res dict, origins, dirs). res: hit, t (world), ks/ca/cb
     (hit voxel in sweep coords), rounds, overflow, unresolved.
+
+    With ``stage1``, the result set stays compacted at stage-1 width
+    (every hit lives there because stage 0 runs no rounds): res gains
+    ``map1`` (see _consume_ladder) and ``dirs1``/``origins1`` (world
+    rays per stage-1 row, reconstructed exactly from the carried sweep
+    components — the axis selectors are a permutation), and hit/t/ks/
+    ca/cb are [M1] instead of [N]. The full-width per-pixel epilogue
+    (leaf normal + shade + shadow, all hit-only work) then runs at M1,
+    which measured 9.3 ms/frame cheaper at 960x540 (the leaf-volume
+    byte gather alone was 9.3 ms at N vs 3.3 at M1).
     """
     from ray_tracing_octrees_tpu.render.camera import generate_rays
 
@@ -755,6 +807,21 @@ def _primary_core(occ_sw, nb9, scal, axis_world: int, flip: bool,
     dead0 = ~forward | ~in_win | ~(brow != 0).any(axis=1)
 
     widths, caps = _primary_ladder(N, sp)
+    if stage1:
+        g1, map1, rounds, overflow = _consume_ladder(
+            brow, jnp.zeros(N, jnp.int32), dead0, ro_sab, rd_sab, nb9,
+            S, A, B, flip, widths, caps, const_origin=True, ta=ta, tb=tb,
+            want_stage1=True)
+        sel_m = jnp.stack([jnp.asarray(s, f32) for s in sel], axis=0)
+        dirs1 = (map1["rd"] @ sel_m) * vs         # exact: sel is a perm
+        origins1 = jnp.broadcast_to(scal[15:18][None, :],
+                                    (map1["M"], 3))
+        res = dict(hit=g1["hit"], t=g1["t"], ks=g1["ks"], ca=g1["ca"],
+                   cb=g1["cb"], rounds=rounds, overflow=overflow,
+                   unresolved=(jnp.sum(~g1["resolved"] & ~g1["hit"])
+                               + overflow),
+                   map1=map1, dirs1=dirs1, origins1=origins1)
+        return res, origins, dirs
     g, rounds, overflow = _consume_ladder(
         brow, jnp.zeros(N, jnp.int32), dead0, ro_sab, rd_sab, nb9,
         S, A, B, flip, widths, caps, const_origin=True, ta=ta, tb=tb)
@@ -790,8 +857,43 @@ def _leaf_normal(res, origins, dirs, leaf_flat, leaf_S: int,
     return point, nrm
 
 
+def _merge1_to_n(map1, cols, defaults):
+    """Scatter stage-1 per-row results back to full width with ONE packed
+    row gather. ``cols``: list of [M1] arrays (f32/i32/bool); ``defaults``:
+    per-column full-width default arrays (or scalars). Returns the
+    full-width columns, dtypes preserved."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    as_i32 = lambda x: jax.lax.bitcast_convert_type(x, i32)
+    as_f32 = lambda x: jax.lax.bitcast_convert_type(x, f32)
+    take = map1["unres"] & (map1["rank"] < map1["M"])
+    packed = jnp.concatenate(
+        [(as_i32(c) if c.dtype == f32 else c.astype(i32))[:, None]
+         for c in cols], axis=1)
+    rows = packed[jnp.clip(jnp.where(take, map1["rank"], 0),
+                           0, map1["M"] - 1)]
+    out = []
+    for j, (c, d) in enumerate(zip(cols, defaults)):
+        v = rows[:, j]
+        if c.dtype == f32:
+            v = as_f32(v)
+        elif c.dtype == jnp.bool_:
+            v = v != 0
+        out.append(jnp.where(take, v, d))
+    return out
+
+
+def _shadow_ladder_stage1(m: int, sp: int):
+    """Shadow ladder when origins are ALREADY compacted at stage-1 width
+    m (~2/3 of rows live): run the first round in place, then shrink on
+    the measured decay (15.5k / 1.9k of 518k pixels after rounds 1/2)."""
+    widths = (m, max(1024, m // 8), max(512, m // 64))
+    caps = (1, 3, 3 + sp)
+    return widths, caps
+
+
 def _shadow_occluded(sf_bits, sf_nb9, sf_lsab, shadow_o_vox, s_live,
-                     meta):
+                     meta, ladder=None):
     """Exact occlusion of shadow rays (shared dir) via the precomputed
     light-space field. ``shadow_o_vox``: origins in VOXEL xyz coords."""
     (axis_l, flip_l, S_l, A_l, B_l, sp_l, aa_min, aa_span, ab_min,
@@ -813,7 +915,7 @@ def _shadow_occluded(sf_bits, sf_nb9, sf_lsab, shadow_o_vox, s_live,
     o0 = (S_l - 1 - k0) if flip_l else k0
     dead0 = (~s_live | (o0 >= S_l) | ~(brow != 0).any(axis=1))
     ptr0 = jnp.maximum(o0, 0)
-    widths, caps = _shadow_ladder(N, sp_l)
+    widths, caps = ladder if ladder is not None else _shadow_ladder(N, sp_l)
     g, rounds, overflow = _consume_ladder(
         brow, ptr0, dead0, ro, rd, sf_nb9, S_l, A_l, B_l, flip_l,
         widths, caps, const_origin=False, ta=ta_l, tb=tb_l)
@@ -830,12 +932,29 @@ def _trace_pixels_jit(occ_sw, nb9, leaf_flat, scal, axis_world, flip,
                       ta=3, tb=3):
     res, origins, dirs = _primary_core(
         occ_sw, nb9, scal, axis_world, flip, S, A, B, IH, IW,
-        width, height, ta, tb)
-    point, nrm = _leaf_normal(res, origins, dirs, leaf_flat, leaf_S,
-                              axis_world, scal[12:15], scal[10])
-    return dict(hit=res["hit"], t=jnp.where(res["hit"], res["t"], 0.0),
-                point=point, normal=nrm, rounds=res["rounds"],
-                overflow=res["overflow"], unresolved=res["unresolved"])
+        width, height, ta, tb, stage1=True)
+    t1 = jnp.where(res["hit"], res["t"], 0.0)
+    point1, nrm1 = _leaf_normal(
+        dict(hit=res["hit"], t=t1, ks=res["ks"], ca=res["ca"],
+             cb=res["cb"]),
+        res["origins1"], res["dirs1"], leaf_flat, leaf_S,
+        axis_world, scal[12:15], scal[10])
+    N = width * height
+    f32 = jnp.float32
+    eye = jnp.broadcast_to(scal[15:18][None, :], (N, 3))
+    merged = _merge1_to_n(
+        res["map1"],
+        [res["hit"], t1, point1[:, 0], point1[:, 1], point1[:, 2],
+         nrm1[:, 0], nrm1[:, 1], nrm1[:, 2]],
+        [jnp.zeros(N, jnp.bool_), jnp.zeros(N, f32),
+         eye[:, 0], eye[:, 1], eye[:, 2],
+         jnp.zeros(N, f32), jnp.zeros(N, f32), jnp.zeros(N, f32)])
+    hit, t = merged[0], merged[1]
+    point = jnp.stack(merged[2:5], axis=1)
+    nrm = jnp.stack(merged[5:8], axis=1)
+    return dict(hit=hit, t=t, point=point, normal=nrm,
+                rounds=res["rounds"], overflow=res["overflow"],
+                unresolved=res["unresolved"])
 
 
 @functools.partial(
@@ -850,13 +969,18 @@ def _exact_frame_jit(occ_sw, nb9, leaf_flat, scal, sf_bits, sf_nb9,
     f32 = jnp.float32
     res, origins, dirs = _primary_core(
         occ_sw, nb9, scal, axis_world, flip, S, A, B, IH, IW,
-        width, height, ta, tb)
+        width, height, ta, tb, stage1=True)
     grid_origin = scal[12:15]
     vs = scal[10]
-    point, nrm = _leaf_normal(res, origins, dirs, leaf_flat, leaf_S,
-                              axis_world, grid_origin, vs)
-    hit = res["hit"]
-    t = jnp.where(hit, res["t"], 0.0)
+    # Whole per-hit epilogue (leaf normal, Lambert shade, shadow trace)
+    # at stage-1 width: hit-only work never runs at full pixel width.
+    t1 = jnp.where(res["hit"], res["t"], 0.0)
+    point1, nrm1 = _leaf_normal(
+        dict(hit=res["hit"], t=t1, ks=res["ks"], ca=res["ca"],
+             cb=res["cb"]),
+        res["origins1"], res["dirs1"], leaf_flat, leaf_S,
+        axis_world, grid_origin, vs)
+    hit1 = res["hit"]
 
     # shade() (RayTracerBVH.cpp:331-336), matching
     # models/octree_raytracer.py::lambert_shade bit for bit
@@ -864,9 +988,9 @@ def _exact_frame_jit(occ_sw, nb9, leaf_flat, scal, sf_bits, sf_nb9,
     base = scal[37:40]
     amb = scal[40:43]
     l = light_dir / jnp.linalg.norm(light_dir)
-    ndotl = jnp.maximum(0.0, -(nrm * l[None, :]).sum(-1))
-    color = base[None, :] * ndotl[:, None] + amb[None, :]
-    color = jnp.where(hit[:, None], color, 0.0)
+    ndotl = jnp.maximum(0.0, -(nrm1 * l[None, :]).sum(-1))
+    color1 = base[None, :] * ndotl[:, None] + amb[None, :]
+    color1 = jnp.where(hit1[:, None], color1, 0.0)
 
     stats = dict(rounds=res["rounds"], overflow=res["overflow"],
                  unresolved=res["unresolved"],
@@ -874,16 +998,24 @@ def _exact_frame_jit(occ_sw, nb9, leaf_flat, scal, sf_bits, sf_nb9,
                  s_overflow=jnp.zeros((), jnp.int32),
                  s_unresolved=jnp.zeros((), jnp.int32))
     if shadows:
-        shadow_o = point + nrm * (vs * 2.0)
+        shadow_o = point1 + nrm1 * (vs * 2.0)
         o_vox = (shadow_o - grid_origin[None, :]) / vs
         occluded, s_rounds, s_over, s_unres = _shadow_occluded(
-            sf_bits, sf_nb9, sf_lsab, o_vox, hit, sf_meta)
-        color = jnp.where(occluded[:, None],
-                          jnp.broadcast_to(amb[None, :], color.shape),
-                          color)
+            sf_bits, sf_nb9, sf_lsab, o_vox, hit1, sf_meta,
+            ladder=_shadow_ladder_stage1(int(res["map1"]["M"]),
+                                         sf_meta[5]))
+        color1 = jnp.where(occluded[:, None],
+                           jnp.broadcast_to(amb[None, :], color1.shape),
+                           color1)
         stats.update(s_rounds=s_rounds, s_overflow=s_over,
                      s_unresolved=s_unres)
-    alpha = jnp.ones((color.shape[0], 1), f32)
+    N = width * height
+    zero = jnp.zeros(N, f32)
+    cr, cg, cb_ = _merge1_to_n(
+        res["map1"], [color1[:, 0], color1[:, 1], color1[:, 2]],
+        [zero, zero, zero])
+    color = jnp.stack([cr, cg, cb_], axis=1)
+    alpha = jnp.ones((N, 1), f32)
     img = jnp.concatenate([color, alpha], axis=-1)
     return img.reshape(height, width, 4), stats
 
