@@ -291,21 +291,28 @@ def config5():
     wmax = np.asarray(g.world_max)
 
     def measure(poses, label):
-        t_total, frames = 0.0, 0
-        for cam in poses:
-            f = lambda: render_fast_frame(
+        # Sustained fly-through: pipelined enqueues over the pose set
+        # (every frame a DISTINCT pose; programs cached after warmup).
+        # Timing single frames instead pays the ~25 ms tunnel RTT per
+        # frame — that measures the link, not the chip.
+        def f(cam):
+            return render_fast_frame(
                 vol, sv, g.origin, g.voxel_size,
                 cam.get_pos(), cam.get_view(), 45.0, W / H, W, H,
                 light_dir=light,
             )
-            img = f()
-            jax.block_until_ready(img)
-            t0 = time.perf_counter()
-            img = f()
-            jax.block_until_ready(img)
-            t_total += time.perf_counter() - t0
-            frames += 1
-        dt = t_total / frames
+
+        for cam in poses:  # warm every pose's program
+            jax.block_until_ready(f(cam))
+        reps = 4
+        t0 = time.perf_counter()
+        outs = []
+        for k in range(reps):
+            for cam in poses:
+                cam.phi += 1e-4
+                outs.append(f(cam))
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / (reps * len(poses))
         _emit(
             config=f"calgary_4k_flythrough_{label}",
             scene=scene,

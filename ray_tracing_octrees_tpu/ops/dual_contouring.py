@@ -781,8 +781,16 @@ def adaptive_dual_contouring(
     )
     if device_out:
         return v_rows.reshape(-1, 3, 3), n_rows, total
-    verts = host_fetch(v_rows)[:total].reshape(-1, 3, 3)
-    normals = host_fetch(n_rows)[:total]
+    # ONE packed fetch of only ~total rows: `total` is already on the host,
+    # so slice device-side to an 8k bucket (bounded program count) and ship
+    # verts+normals as a single [tot_r, 12] f32 buffer — the padded
+    # out_cap tail (up to 64k rows) never crosses the tunnel, and the
+    # second RPC disappears. Bit-exact with the device_out arrays.
+    tot_r = min(out_cap, max(4096, -(-max(total, 1) // 8192) * 8192))
+    packed = jnp.concatenate([v_rows[:tot_r], n_rows[:tot_r]], axis=1)
+    host = host_fetch(packed)
+    verts = host[:total, :9].reshape(-1, 3, 3)
+    normals = np.ascontiguousarray(host[:total, 9:12])
     return jnp.asarray(verts), jnp.asarray(normals), total
 
 

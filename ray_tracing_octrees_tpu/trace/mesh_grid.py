@@ -421,13 +421,13 @@ def _mt_const_np(axis_world: int) -> np.ndarray:
     jax.jit,
     static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
                      "inter_w", "flip", "axis_world", "max_rounds",
-                     "tol_texels", "has_shadow", "kcells"),
+                     "tol_texels", "has_shadow", "kcells", "ladder"),
 )
 def _trace_texels(case_sw, shadow_sw, scal,
                   n_chunks: int, s_valid: int, a_size: int, b_size: int,
                   inter_h: int, inter_w: int, flip: bool, axis_world: int,
                   max_rounds: int, tol_texels: int, has_shadow: bool,
-                  kcells: int = 9):
+                  kcells: int = 9, ladder=None):
     """Full texel-space trace: rounds of (slot sweep + chained MT passes).
 
     Each round: one sweep collects up to _SLOTS candidate slabs per texel;
@@ -653,12 +653,23 @@ def _trace_texels(case_sw, shadow_sw, scal,
     rounds_t = jnp.zeros((), jnp.int32)
     overflow = jnp.zeros((), jnp.int32)
 
-    widths, w = [], N
-    for sh_ in (1, 2, 3, 4, 5, 6):
-        w2 = max(128, N >> sh_)
-        if w2 < w:
-            widths.append(w2)
-            w = w2
+    if ladder is not None:
+        # explicit stage widths (fractions of N or absolute counts);
+        # monotone-decreasing, floored at 128 rows
+        widths, w = [], N
+        for lw in ladder:
+            w2 = int(lw * N) if isinstance(lw, float) else int(lw)
+            w2 = max(128, min(w2, N))
+            if w2 < w:
+                widths.append(w2)
+                w = w2
+    else:
+        widths, w = [], N
+        for sh_ in (1, 2, 3, 4, 5, 6):
+            w2 = max(128, N >> sh_)
+            if w2 < w:
+                widths.append(w2)
+                w = w2
     targets = widths + [tol_texels]
 
     def run_stage(carry, width, next_target, geo_s, c_bits_s, ptr_s, dead):
@@ -856,6 +867,7 @@ def trace_mc_mesh_texels(
     inter_w: int = 1024,
     max_rounds: int = 16,
     tol_texels: int = 0,
+    ladder=None,
 ) -> dict:
     """Texel-space trace (the raw wavefront): one ray per table texel.
 
@@ -869,7 +881,7 @@ def trace_mc_mesh_texels(
         case_sw, shadow_sw, jnp.asarray(scal_np),
         case_sw.shape[0] // 32, S, A, B, inter_h, inter_w, bool(flip),
         axis_world, max_rounds, tol_texels, shadow_sw is not None,
-        kcells=kcells,
+        kcells=kcells, ladder=ladder,
     )
 
 
@@ -878,20 +890,20 @@ def trace_mc_mesh_texels(
     static_argnames=("n_chunks", "s_valid", "a_size", "b_size", "inter_h",
                      "inter_w", "flip", "axis_world", "width", "height",
                      "max_rounds", "tol_texels", "has_shadow", "warp_cfg",
-                     "kcells"),
+                     "kcells", "ladder"),
 )
 def _mesh_frame_fused(case_sw, shadow_sw, scal,
                       n_chunks: int, s_valid: int, a_size: int, b_size: int,
                       inter_h: int, inter_w: int, flip: bool,
                       axis_world: int, width: int, height: int,
                       max_rounds: int, tol_texels: int, has_shadow: bool,
-                      warp_cfg, kcells: int):
+                      warp_cfg, kcells: int, ladder=None):
     """Whole triangle-traced frame in one program: rounds, shade, warp."""
     f32 = jnp.float32
     res = _trace_texels(
         case_sw, shadow_sw, scal, n_chunks, s_valid, a_size,
         b_size, inter_h, inter_w, flip, axis_world, max_rounds, tol_texels,
-        has_shadow, kcells=kcells,
+        has_shadow, kcells=kcells, ladder=ladder,
     )
     # Texel-space Lambert shade (shade(), RayTracerBVH.cpp:331-336; the
     # directional light makes shading view-independent, so per-texel
@@ -969,6 +981,7 @@ def render_mc_mesh_frame(
     max_rounds: int = 8,
     tol_texels: int = 512,
     with_stats: bool = False,
+    ladder=None,
 ):
     """Triangle-traced frame of the extracted MC mesh, Lambert + shadow.
 
@@ -989,7 +1002,7 @@ def render_mc_mesh_frame(
         case_sw, shadow_sw, jnp.asarray(scal_np),
         case_sw.shape[0] // 32, S, A, B, inter_h, inter_w, bool(flip),
         axis_world, width, height, max_rounds, tol_texels,
-        shadow_sw is not None, warp_cfg, kcells,
+        shadow_sw is not None, warp_cfg, kcells, ladder,
     )
     if with_stats:
         return img, dict(rounds=rounds, unresolved=unresolved)
