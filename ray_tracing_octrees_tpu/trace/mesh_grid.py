@@ -351,6 +351,46 @@ def _footprint_slots(pa, pb, half_a, half_b, ca, cb):
     return slots, da, db
 
 
+@functools.lru_cache(maxsize=1)
+def _mt_selectors_np():
+    """0/1 selector matrices that run the MT lane contractions on the MXU.
+
+    The naive contraction ``(fk[:, :90].reshape(-1, 6, 15) * qa[:, :,
+    None]).sum(1)`` pads its tiny last axis 15 -> 128 lanes on the VPU
+    (measured ~9-49 ns/row isolated, `tools/exp_mt_forms.py`); the same
+    math as two selector matmuls — expand qa to lane space (``qa @ R``)
+    and block-reduce (``(fk * qe) @ G``) — runs at ~4 ns/row with
+    bit-identical triangle selection (products are exact f32 under
+    HIGHEST precision; sums reassociate by <= 1 ulp).
+
+    Returns (R [6,90], G [90,15], R2 [4,20], G2 [20,5], K5 [5,15],
+    H [15,3]) — the last two expand a 5-way triangle select to the
+    15-lane normal block and reduce it to 3 components.
+    """
+    R = np.zeros((6, 90), np.float32)
+    for i in range(6):
+        R[i, i * 15:(i + 1) * 15] = 1.0
+    G = np.zeros((90, 15), np.float32)
+    for i in range(6):
+        for j in range(15):
+            G[i * 15 + j, j] = 1.0
+    R2 = np.zeros((4, 20), np.float32)
+    for i in range(4):
+        R2[i, i * 5:(i + 1) * 5] = 1.0
+    G2 = np.zeros((20, 5), np.float32)
+    for i in range(4):
+        for j in range(5):
+            G2[i * 5 + j, j] = 1.0
+    K5 = np.zeros((5, 15), np.float32)
+    for t in range(5):
+        K5[t, t * 3:t * 3 + 3] = 1.0
+    H = np.zeros((15, 3), np.float32)
+    for t in range(5):
+        for c in range(3):
+            H[t * 3 + c, c] = 1.0
+    return R, G, R2, G2, K5, H
+
+
 @functools.lru_cache(maxsize=4)
 def _mt_const_np(axis_world: int) -> np.ndarray:
     """[256, 128] packed Moller-Trumbore dot-constant table (bf16-exact).
@@ -494,6 +534,7 @@ def _trace_texels(case_sw, shadow_sw, scal,
         detect_sw, hats, n_chunks, s_valid, a_size, b_size, IH, IW, flip,
     )
     case_iota = jnp.arange(256, dtype=jnp.int32)
+    mtc = jnp.asarray(_mt_const_np(axis_world))         # [256, 128] bf16
 
     def slab_pass(o_j, geo):
         """Resolve one candidate slab per row: packed case fetch + exact MT.
@@ -542,10 +583,11 @@ def _trace_texels(case_sw, shadow_sw, scal,
                          for j in range(4)]
 
         # Dot-constant MT (see _mt_const_np): per footprint cell, ONE
-        # one-hot MXU fetch of the packed table + 6-term weighted lane
-        # sums give det / u*det / v*det / t*det for all 5 triangles —
-        # exact MT semantics with no [m, K, 3, 3] HBM geometry.
-        mtc = jnp.asarray(_mt_const_np(axis_world))     # [256, 128] bf16
+        # one-hot MXU fetch of the packed table + the qa contraction as
+        # selector MATMULS (see _mt_selectors_np — the naive tiny-lane
+        # VPU form measured 2-10x slower) give det / u*det / v*det /
+        # t*det for all 5 triangles — exact MT semantics with no
+        # [m, K, 3, 3] HBM geometry.
         rd_s = jnp.broadcast_to(z0 - eye_s, pa.shape)
         rd_a = uaf_ - eye_a
         rd_b = ubf_ - eye_b
@@ -555,7 +597,9 @@ def _trace_texels(case_sw, shadow_sw, scal,
         best_tri = jnp.zeros(pa.shape, jnp.int32)
         best_ca = jnp.zeros(pa.shape, f32)
         best_cb = jnp.zeros(pa.shape, f32)
-        tri5 = jnp.arange(5, dtype=jnp.int32)
+        hi = jax.lax.Precision.HIGHEST
+        selR, selG, selR2, selG2, _, _ = (jnp.asarray(x)
+                                          for x in _mt_selectors_np())
 
         for cse, da, db in slot_list:
             cell_a = ca + da
@@ -570,10 +614,14 @@ def _trace_texels(case_sw, shadow_sw, scal,
             fk = jnp.einsum("nc,cl->nl", oh, mtc,
                             preferred_element_type=f32)  # [m, 128]
             qa = jnp.stack([rd_s, rd_a, rd_b, w_s, w_a, w_b], 1)
-            mt = (fk[:, :90].reshape(-1, 6, 15) * qa[:, :, None]).sum(1)
+            mt = jax.lax.dot(fk[:, :90] * jax.lax.dot(qa, selR,
+                                                      precision=hi),
+                             selG, precision=hi)         # [m, 15]
             det, ud, vd = mt[:, 0:5], mt[:, 5:10], mt[:, 10:15]
             qb = jnp.stack([ro_s, ro_a, ro_b, jnp.ones_like(ro_s)], 1)
-            td = (fk[:, 90:110].reshape(-1, 4, 5) * qb[:, :, None]).sum(1)
+            td = jax.lax.dot(fk[:, 90:110] * jax.lax.dot(qb, selR2,
+                                                         precision=hi),
+                             selG2, precision=hi)        # [m, 5]
             sgn = jnp.sign(det)
             ok = jnp.abs(det) > eps
             tt = td / jnp.where(ok, det, 1.0)
@@ -590,13 +638,9 @@ def _trace_texels(case_sw, shadow_sw, scal,
             best_cb = jnp.where(better, cell_b, best_cb)
 
         anyhit = best_tt < _BIG
-        # winner normal: one more one-hot fetch, lanes 110..124 selected
-        # by the winning triangle
-        ohw = (best_case[:, None] == case_iota[None, :]).astype(jnp.bfloat16)
-        fkn = jnp.einsum("nc,cl->nl", ohw, mtc, preferred_element_type=f32)
-        wsel = (best_tri[:, None] == tri5[None, :]).astype(f32)
-        nr = (fkn[:, 110:125].reshape(-1, 5, 3) * wsel[:, :, None]).sum(1)
-        return (anyhit, best_tt, nr, best_case, best_tri, best_ca, best_cb)
+        # winner normal deferred: ONE post-ladder fetch from (case, tri)
+        # at full width replaces a per-round fetch at every ladder stage.
+        return (anyhit, best_tt, best_case, best_tri, best_ca, best_cb)
 
     def consume_round(st, c_bits, geo):
         """Test each row's next untested crossing slab; advance or
@@ -608,7 +652,7 @@ def _trace_texels(case_sw, shadow_sw, scal,
         has, o_i = _first_set_from(c_bits, ptr)
         act = ~resolved & has
         o_f = o_i.astype(f32)
-        anyhit, t_min, nr, wcase, wtri_i, wca, wcb = slab_pass(o_f, geo)
+        anyhit, t_min, wcase, wtri_i, wca, wcb = slab_pass(o_f, geo)
         fi_cell = ((o_f * a_size + wca) * b_size + wcb).astype(jnp.int32)
         newly = act & anyhit
         miss = act & ~anyhit
@@ -618,7 +662,6 @@ def _trace_texels(case_sw, shadow_sw, scal,
             resolved=resolved | newly | exh,
             hit=st["hit"] | newly,
             t=jnp.where(newly, t_min * rd_len_, st["t"]),
-            nrm_sab=jnp.where(newly[:, None], nr, st["nrm_sab"]),
             fi=jnp.where(newly, fi_cell, st["fi"]),
             case=jnp.where(newly, wcase, st["case"]),
             tri=jnp.where(newly, wtri_i, st["tri"]),
@@ -628,7 +671,7 @@ def _trace_texels(case_sw, shadow_sw, scal,
         return dict(
             ptr=ptr, resolved=resolved,
             hit=jnp.zeros(m, bool), t=jnp.zeros(m, f32),
-            nrm_sab=jnp.zeros((m, 3), f32), fi=jnp.zeros(m, jnp.int32),
+            fi=jnp.zeros(m, jnp.int32),
             case=jnp.zeros(m, jnp.int32), tri=jnp.zeros(m, jnp.int32),
         )
 
@@ -664,9 +707,14 @@ def _trace_texels(case_sw, shadow_sw, scal,
                 widths.append(w2)
                 w = w2
     else:
+        # default widths tuned to the measured per-round survivor decay
+        # (first round resolves ~20%, later rounds ~50%; see
+        # tools/exp_mesh_fixed / LADDER_r03): each stage fits after ONE
+        # round of its predecessor at the bench pose while the while-cond
+        # keeps correctness for slower-decaying poses.
         widths, w = [], N
-        for sh_ in (1, 2, 3, 4, 5, 6):
-            w2 = max(128, N >> sh_)
+        for fr in (0.5, 0.38, 0.2, 0.1, 0.05, 0.025, 0.0125):
+            w2 = max(128, int(N * fr))
             if w2 < w:
                 widths.append(w2)
                 w = w2
@@ -716,14 +764,12 @@ def _trace_texels(case_sw, shadow_sw, scal,
     st0 = run_stage((rounds_t, hist), N, targets[0] if widths else tol_texels,
                     geoA, cand_bits, g["ptr"], g["resolved"])
     rounds_t, hist = st0["rounds_t"], st0["hist"]
-    for k in ("ptr", "resolved", "hit", "t", "nrm_sab", "fi", "case", "tri"):
+    for k in ("ptr", "resolved", "hit", "t", "fi", "case", "tri"):
         upd = st0[k]
         if k in ("ptr", "resolved"):
             g[k] = upd
         else:
-            g[k] = jnp.where(
-                st0["hit"][:, None] if upd.ndim == 2 else st0["hit"],
-                upd, g[k])
+            g[k] = jnp.where(st0["hit"], upd, g[k])
 
     prev = dict(resolved=g["resolved"], ptr=g["ptr"], uaf=uaf, ubf=ubf,
                 bits=cand_bits, width=N)
@@ -759,8 +805,7 @@ def _trace_texels(case_sw, shadow_sw, scal,
             [src["hit"].astype(i32)[:, None], as_i32(src["t"])[:, None],
              src["fi"][:, None], src["case"][:, None],
              src["tri"][:, None], src["ptr"][:, None],
-             src["resolved"].astype(i32)[:, None],
-             as_i32(src["nrm_sab"])], axis=1)           # [m_src, 10]
+             src["resolved"].astype(i32)[:, None]], axis=1)  # [m_src, 7]
         rows = packed[jnp.clip(jnp.where(take, rank_in, 0), 0, m_src - 1)]
         s_hit = take & (rows[:, 0] != 0)
         out = dict(dst)
@@ -771,8 +816,6 @@ def _trace_texels(case_sw, shadow_sw, scal,
         out["tri"] = jnp.where(s_hit, rows[:, 4], dst["tri"])
         out["ptr"] = jnp.where(take, rows[:, 5], dst["ptr"])
         out["resolved"] = jnp.where(take, rows[:, 6] != 0, dst["resolved"])
-        out["nrm_sab"] = jnp.where(s_hit[:, None], as_f32(rows[:, 7:10]),
-                                   dst["nrm_sab"])
         return out
 
     if entries:
@@ -784,7 +827,19 @@ def _trace_texels(case_sw, shadow_sw, scal,
         g = merge_back(g, entries[0]["unres"], entries[0]["rank"], merged,
                        entries[0]["M"])
 
-    hit, t, nrm_sab = g["hit"], g["t"], g["nrm_sab"]
+    hit, t = g["hit"], g["t"]
+
+    # Deferred winner normal: ONE one-hot fetch from (case, tri) at full
+    # width (0.85 ns/row) replaces the per-round fetch the ladder ran at
+    # every stage; the 15->3 reduction rides the same selector matmuls.
+    _, _, _, _, selK5, selH = (jnp.asarray(x) for x in _mt_selectors_np())
+    hi = jax.lax.Precision.HIGHEST
+    ohw = (g["case"][:, None] == case_iota[None, :]).astype(jnp.bfloat16)
+    fkn = jnp.einsum("nc,cl->nl", ohw, mtc, preferred_element_type=f32)
+    tri5 = jnp.arange(5, dtype=jnp.int32)
+    wse = jax.lax.dot((g["tri"][:, None] == tri5[None, :]).astype(f32),
+                      selK5, precision=hi)              # [N, 15]
+    nrm_sab = jax.lax.dot(fkn[:, 110:125] * wse, selH, precision=hi)
 
     nrm_w = det_sign * (
         nrm_sab[:, 0:1] * sel_s[None, :]
