@@ -251,6 +251,30 @@ def _build_packed_cases(case_sw: jax.Array) -> jax.Array:
     return (am1 + 256.0 * cs + 65536.0 * ap1).reshape(-1)
 
 
+def _build_packed_cases4(case_sw: jax.Array) -> jax.Array:
+    """Byte-packed 2x2 windows of the sweep-layout case volume, u32.
+
+    pk4[o, a, b] = case(a, b) | case(a, b+1) << 8
+                 | case(a+1, b) << 16 | case(a+1, b+1) << 24
+    (zeros past the a/b edges). At ``kcells == 4`` (|slope| <= 1 poses)
+    the ray's exact in-slab footprint cells {fa0, fa1} x {fb0, fb1} with
+    fa1 - fa0, fb1 - fb0 in {0, 1} all sit inside the 2x2 window based at
+    (fa0, fb0), so ONE u32 gather replaces the a-triple form's THREE f32
+    gathers (:func:`_build_packed_cases`) plus its 3x3 -> slot one-hot
+    select. Testing the full window is exact: MC triangles are cell-local
+    and any genuine ray/triangle intersection inside slab o lies in a cell
+    the ray's footprint crosses, so non-footprint window cells can never
+    produce a hit. Returned flattened [sp * A * B].
+    """
+    cs = case_sw.astype(jnp.uint32)
+    zb = jnp.zeros_like(cs[:, :, :1])
+    c01 = jnp.concatenate([cs[:, :, 1:], zb], axis=2)     # case at b+1
+    za = jnp.zeros_like(cs[:, :1, :])
+    c10 = jnp.concatenate([cs[:, 1:, :], za], axis=1)     # case at a+1
+    c11 = jnp.concatenate([c01[:, 1:, :], za], axis=1)    # case at a+1,b+1
+    return (cs | (c01 << 8) | (c10 << 16) | (c11 << 24)).reshape(-1)
+
+
 
 # The candidate field is a per-slab BIT field: bit o of word [N, o // 32]
 # is "the ray's exact footprint in slab o contains a surface cell". It is
@@ -329,26 +353,6 @@ def _sweep_candidates(detect_sw, hats, n_chunks: int,
 
 _first_set_from = first_set_from  # moved to slab_sweep (shared with the
 # orthographic shadow seed); kept under its historical local name.
-
-
-def _footprint_slots(pa, pb, half_a, half_b, ca, cb):
-    """Slot indices (into the 3x3 fetch, a-slow b-fast) of the ray's exact
-    2x2 footprint corner cells.
-
-    Valid when |slope| <= 1 (the ``kcells == 4`` static gate): the
-    footprint interval [p - half, p + half] with half <= 0.5 spans at most
-    the two consecutive cells {floor(p - half), floor(p + half)}, both
-    within floor(p) +- 1. Returns (slots i32[m, 4], da f32[m, 4],
-    db f32[m, 4]) with slot = (da + 1) * 3 + (db + 1).
-    """
-    fa0 = jnp.floor(pa - half_a) - ca                       # in {-1, 0}
-    fa1 = jnp.floor(pa + half_a) - ca                       # in {0, 1}
-    fb0 = jnp.floor(pb - half_b) - cb
-    fb1 = jnp.floor(pb + half_b) - cb
-    da = jnp.stack([fa0, fa0, fa1, fa1], axis=1)
-    db = jnp.stack([fb0, fb1, fb0, fb1], axis=1)
-    slots = ((da + 1.0) * 3.0 + (db + 1.0)).astype(jnp.int32)
-    return slots, da, db
 
 
 @functools.lru_cache(maxsize=1)
@@ -525,7 +529,8 @@ def _trace_texels(case_sw, shadow_sw, scal,
     hats = _build_detect_hats(scal, case_sw.shape[0], s_valid, a_size,
                               b_size, IH, IW, flip)
     detect_sw = _detect_volume(case_sw)
-    pk = _build_packed_cases(case_sw)
+    pk = (_build_packed_cases4(case_sw) if kcells == 4
+          else _build_packed_cases(case_sw))
     npk = pk.shape[0]
 
     det_sign = -1.0 if axis_world == 1 else 1.0
@@ -552,35 +557,43 @@ def _trace_texels(case_sw, shadow_sw, scal,
         pb = (ubf_ - eye_b) / s_scale + eye_b
         ca = jnp.floor(pa)
         cb = jnp.floor(pb)
-        fi = ((o_j * a_size + ca) * b_size + cb).astype(jnp.int32)
 
-        def fetch(off):
-            v = jnp.take(pk, jnp.clip(fi + off, 0, npk - 1))
-            ok = (cb + off >= 0) & (cb + off <= b_size - 1)
-            return jnp.where(ok, v, 0.0)
-
-        def unpack3(p):
-            c_ap1 = jnp.floor(p / 65536.0)
-            r = p - c_ap1 * 65536.0
-            c_a = jnp.floor(r / 256.0)
-            return r - c_a * 256.0, c_a, c_ap1      # cases at a-1, a, a+1
-
-        u3 = [unpack3(fetch(off)) for off in (-1, 0, 1)]    # [db][da]
-        cases9 = jnp.stack(
-            [u3[db][da] for da in range(3) for db in range(3)], axis=1,
-        ).astype(jnp.int32)                             # [m, 9] a-slow
-        if kcells >= 9:
-            # test the whole 3x3 footprint (complete for |slope| <= 2)
-            slot_list = [(cases9[:, j], f32(j // 3 - 1), f32(j % 3 - 1))
-                         for j in range(9)]
+        if kcells == 4:
+            # |slope| <= 1: the footprint's corner cells {fa0, fa1} x
+            # {fb0, fb1} sit inside the 2x2 window at (fa0, fb0); ONE u32
+            # gather from the byte-packed windows fetches all 4 cases
+            # (see _build_packed_cases4 — testing the whole window is
+            # exact). Clipping the base keeps every IN-RANGE footprint
+            # cell covered; out-of-range cells are empty anyway.
+            fa0 = jnp.clip(jnp.floor(pa - half_a_), 0.0, f32(a_size - 2))
+            fb0 = jnp.clip(jnp.floor(pb - half_b_), 0.0, f32(b_size - 2))
+            fi4 = ((o_j * a_size + fa0) * b_size + fb0).astype(jnp.int32)
+            p4 = jnp.take(pk, jnp.clip(fi4, 0, npk - 1))
+            slot_list = []
+            for j, (da, db) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                cse = ((p4 >> (8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                slot_list.append((cse, fa0 + da, fb0 + db))
         else:
-            # |slope| <= 1: the exact footprint is the 2x2 corner-cell set
-            slots, da4, db4 = _footprint_slots(pa, pb, half_a_, half_b_,
-                                               ca, cb)
-            oh9 = slots[:, :, None] == jnp.arange(9, dtype=jnp.int32)
-            casesk = (cases9[:, None, :] * oh9).sum(axis=2)
-            slot_list = [(casesk[:, j], da4[:, j], db4[:, j])
-                         for j in range(4)]
+            fi = ((o_j * a_size + ca) * b_size + cb).astype(jnp.int32)
+
+            def fetch(off):
+                v = jnp.take(pk, jnp.clip(fi + off, 0, npk - 1))
+                ok = (cb + off >= 0) & (cb + off <= b_size - 1)
+                return jnp.where(ok, v, 0.0)
+
+            def unpack3(p):
+                c_ap1 = jnp.floor(p / 65536.0)
+                r = p - c_ap1 * 65536.0
+                c_a = jnp.floor(r / 256.0)
+                return r - c_a * 256.0, c_a, c_ap1  # cases at a-1, a, a+1
+
+            u3 = [unpack3(fetch(off)) for off in (-1, 0, 1)]    # [db][da]
+            cases9 = jnp.stack(
+                [u3[db][da] for da in range(3) for db in range(3)], axis=1,
+            ).astype(jnp.int32)                         # [m, 9] a-slow
+            # test the whole 3x3 footprint (complete for |slope| <= 2)
+            slot_list = [(cases9[:, j], ca + f32(j // 3 - 1),
+                          cb + f32(j % 3 - 1)) for j in range(9)]
 
         # Dot-constant MT (see _mt_const_np): per footprint cell, ONE
         # one-hot MXU fetch of the packed table + the qa contraction as
@@ -601,9 +614,7 @@ def _trace_texels(case_sw, shadow_sw, scal,
         selR, selG, selR2, selG2, _, _ = (jnp.asarray(x)
                                           for x in _mt_selectors_np())
 
-        for cse, da, db in slot_list:
-            cell_a = ca + da
-            cell_b = cb + db
+        for cse, cell_a, cell_b in slot_list:
             ro_s = eye_s - k
             ro_a = eye_a - cell_a
             ro_b = eye_b - cell_b

@@ -96,6 +96,55 @@ def test_texel_trace_matches_lbvh_oracle(sphere_scene, pose):
     assert int(res["unresolved"]) == 0
 
 
+def test_kcells4_packed_window_matches_3x3(sphere_scene):
+    """The 2x2 u32-packed single-gather fetch == the 3x3 packed-triple path.
+
+    Both are exact on reported hits; at a |slope| <= 1 pose the 3x3 is a
+    cell superset of the 2x2 window, so hits/t/case/tri must agree."""
+    from ray_tracing_octrees_tpu.trace import mesh_grid as mgrid
+
+    grid, tris, scene = sphere_scene
+    extent = float(np.max(np.asarray(grid.world_max) - np.asarray(grid.world_min)))
+
+    def smax_of(cam):
+        # host-side replica of _scene_sweep_setup's gate (no device work)
+        _, _, _, eyes, window, _ = mgrid._sweep_geometry(
+            scene.case_vol, np.asarray(scene.origin), scene.voxel_size,
+            cam.get_pos(), cam.get_view())
+        eye_s, eye_a, eye_b, z0 = eyes
+        a_min, a_max, b_min, b_max = window
+        return max(abs(a_min - eye_a), abs(a_max - eye_a),
+                   abs(b_min - eye_b), abs(b_max - eye_b)) / max(
+                       abs(z0 - eye_s), 1e-12)
+
+    cam = None
+    for th, ph, r in [(0.15, 0.1, 2.5), (0.1, 0.05, 3.0), (0.3, 0.2, 2.0),
+                      (0.05, 0.03, 4.0)]:
+        c = Camera(theta=th, phi=ph, radius=r * extent)
+        if smax_of(c) <= 1.0:
+            cam = c
+            break
+    assert cam is not None, "no pose satisfies the |slope| <= 1 gate"
+    setup = mgrid._scene_sweep_setup(scene, cam.get_pos(), cam.get_view(),
+                                     45.0, 1.0, 96, 96)
+    (axis_world, flip, (S, A, B), case_sw, shadow_sw, scal_np, kc) = setup
+    assert kc == 4
+    outs = {}
+    for kcells in (4, 9):
+        outs[kcells] = jax.tree_util.tree_map(np.asarray, mgrid._trace_texels(
+            case_sw, shadow_sw, jnp.asarray(scal_np),
+            case_sw.shape[0] // 32, S, A, B, 96, 96, bool(flip), axis_world,
+            24, 0, shadow_sw is not None, kcells=kcells,
+        ))
+    np.testing.assert_array_equal(outs[4]["hit"], outs[9]["hit"])
+    both = outs[4]["hit"]
+    np.testing.assert_allclose(outs[4]["t"][both], outs[9]["t"][both],
+                               rtol=1e-5)
+    same_tri = (outs[4]["case"][both] == outs[9]["case"][both]) & (
+        outs[4]["tri"][both] == outs[9]["tri"][both])
+    assert same_tri.mean() > 0.999
+
+
 def test_frame_renders_and_shades(sphere_scene):
     grid, tris, scene = sphere_scene
     extent = float(np.max(np.asarray(grid.world_max) - np.asarray(grid.world_min)))
