@@ -48,8 +48,7 @@ def bench(label, fn, *args):
 
 
 def linear(x):
-    return with_layout_constraint(
-        x, Format(Layout(tuple(range(x.ndim)))))
+    return with_layout_constraint(x, Layout(tuple(range(x.ndim))))
 
 
 def main():
