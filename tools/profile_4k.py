@@ -1,0 +1,155 @@
+"""Stage attribution of the 4K fly-through frame (exterior bench poses).
+
+The 1080p headline frame runs at ~7.8 ms but the same pipeline at 4K
+measured 49 ms (LADDER_r03 calgary_4k_flythrough_exterior) — more than
+the 4x pixel scaling of the per-pixel Pallas half explains if the sweep
+(resolution-independent) is ~5 ms.  This probe reports, per exterior
+bench pose: the planned warp config, the sweep alone, the Pallas
+warp+shade alone, and the fused frame — all pipelined over DISTINCT
+poses (the tunnel elides identical repeated dispatches).
+
+Usage: python tools/profile_4k.py [width height]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ray_tracing_octrees_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+from ray_tracing_octrees_tpu.core.cache import load_voxel_grid
+from ray_tracing_octrees_tpu.core.grid import (
+    recenter_filled_voxels, building_center,
+)
+from ray_tracing_octrees_tpu.trace import slab_sweep as ss
+from ray_tracing_octrees_tpu.render.camera import Camera
+
+W = int(sys.argv[1]) if len(sys.argv) > 1 else 3840
+H = int(sys.argv[2]) if len(sys.argv) > 2 else 2160
+
+
+def main():
+    g = recenter_filled_voxels(load_voxel_grid("/root/reference/sceneCache.bin"))
+    vol = (jnp.asarray(g.occ) > 0).astype(jnp.float32)
+    to_light = (0.5, 0.9, 0.4)
+    light = tuple(-c for c in to_light)
+    sv = jax.block_until_ready(ss.shadow_volume(vol, to_light))
+    extent = float(np.max(np.asarray(g.world_max) - np.asarray(g.world_min)))
+    center = np.asarray(building_center(g))
+
+    # the 4 exterior bench poses (benchmarks.py config5)
+    poses = []
+    for i in range(4):
+        cam = Camera(theta=0.8 + 0.05 * i, phi=0.5 + 0.4 * i,
+                     radius=0.8 * extent)
+        cam.set_target(center)
+        poses.append(cam)
+
+    # Per-pose geometry + warp plan report
+    setups = []
+    for i, cam in enumerate(poses):
+        axis_world, flip, (S, A, B), eyes, window, crop_lo = \
+            ss._sweep_geometry(vol, g.origin, g.voxel_size,
+                               cam.get_pos(), cam.get_view())
+        ih, iw = ss._auto_inter(window)
+        vol_bf = ss._layout_volume(vol, axis_world, flip, S, A, B, crop_lo)
+        origin_c = np.asarray(g.origin, np.float32) + np.asarray(
+            ss._AXIS_SELECTORS[axis_world][0], np.float32
+        ) * (crop_lo * float(g.voxel_size))
+        scal_np = ss._frame_scalars_np(
+            *eyes[:3], eyes[3], *window, 45.0, W / H, float(g.voxel_size), S,
+            origin_c, np.asarray(cam.get_pos(), np.float32),
+            cam.get_view(), light, (1.0, 0.8, 0.6), (0.1, 0.1, 0.1))
+        cfg = ss._plan_warp_cfg(scal_np, axis_world, ih, iw, W, H,
+                                for_fused=True)
+        print(f"pose {i}: axis={axis_world} flip={flip} sp={vol_bf.shape[0]} "
+              f"A={A} B={B} inter={ih}x{iw} warp_cfg={cfg}", flush=True)
+        setups.append((vol_bf, scal_np, ih, iw, axis_world, flip, S, A, B,
+                       crop_lo, cfg))
+
+    def pipelined(name, fns, reps=5):
+        outs = [f() for f in fns]
+        jax.block_until_ready(outs)
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(reps):
+            for f in fns:
+                outs.append(f())
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / (reps * len(fns)) * 1e3
+        print(f"{name:40s} {dt:8.2f} ms", flush=True)
+        return dt
+
+    # stage: sweep only (per pose)
+    sweep_fns = []
+    for (vol_bf, scal_np, ih, iw, axis_world, flip, S, A, B, crop_lo,
+         cfg) in setups:
+        sp = vol_bf.shape[0]
+        shv = jax.block_until_ready(ss._relayout_sweep(
+            sv, axis_world, bool(flip), sp, A, B, crop_lo, S))
+        scal = jnp.asarray(scal_np)
+        sweep_fns.append(
+            lambda vb=vol_bf, sc=scal, nc=sp // 32, s=S, a=A, b=B, IH=ih,
+            IW=iw, fl=bool(flip), sh=shv:
+            ss._sweep_all(vb, sc, nc, s, a, b, IH, IW, fl, shadow_sw=sh))
+    d_sweep = pipelined("sweep_all (occ+shadow)", sweep_fns)
+
+    # stage: shadow relayout (per pose)
+    relay_fns = []
+    for (vol_bf, scal_np, ih, iw, axis_world, flip, S, A, B, crop_lo,
+         cfg) in setups:
+        sp = vol_bf.shape[0]
+        relay_fns.append(
+            lambda ax=axis_world, fl=bool(flip), spx=sp, a=A, b=B,
+            cl=crop_lo, s=S: ss._relayout_sweep(sv, ax, fl, spx, a, b, cl, s))
+    pipelined("shadow relayout", relay_fns)
+
+    # stage: warp+shade Pallas kernel alone (per pose, fixed packed input)
+    from ray_tracing_octrees_tpu.trace.warp_kernel import (
+        frame_scalars_kernel, split_hi_lo, unpack_frame_rgb, warp_frame,
+    )
+    warp_fns = []
+    for (vol_bf, scal_np, ih, iw, axis_world, flip, S, A, B, crop_lo,
+         cfg) in setups:
+        if cfg is None:
+            print("pose has no warp cfg -> XLA fallback", flush=True)
+            continue
+        sp = vol_bf.shape[0]
+        shv = ss._relayout_sweep(sv, axis_world, bool(flip), sp, A, B,
+                                 crop_lo, S)
+        scal = jnp.asarray(scal_np)
+        packed = jax.block_until_ready(ss._sweep_all(
+            vol_bf, scal, sp // 32, S, A, B, ih, iw, bool(flip),
+            shadow_sw=shv))
+        t_hl = jax.block_until_ready(split_hi_lo(packed.reshape(ih, iw)))
+        kscal = jax.block_until_ready(frame_scalars_kernel(scal, axis_world))
+        ty, tx, win = cfg
+        warp_fns.append(
+            lambda thl=t_hl, ks=kscal, TY=ty, TX=tx, WIN=win, ax=axis_world:
+            unpack_frame_rgb(warp_frame(thl, ks, TY, TX, WIN, ax, W, H, True),
+                             W, H))
+    if warp_fns:
+        pipelined("warp_frame+unpack (Pallas)", warp_fns)
+
+    # full fused frame per pose (the bench path)
+    frame_fns = []
+    for cam in poses:
+        frame_fns.append(
+            lambda c=cam: ss.render_fast_frame(
+                vol, sv, g.origin, g.voxel_size, c.get_pos(), c.get_view(),
+                45.0, W / H, W, H, light_dir=light))
+    d_frame = pipelined("FULL fused frame", frame_fns)
+    print(f"=> {W}x{H}: frame {d_frame:.1f} ms, "
+          f"{W * H * 2 / d_frame / 1e3:.1f} Mrays/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
