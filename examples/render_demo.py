@@ -28,15 +28,16 @@ def main(outdir: str = "examples/frames") -> None:
     app.camera.radius = 0.75 * app.camera.radius / 1.5  # 0.75x scene extent
     app.camera.set_target(app.building_center)
 
-    W, H = 640, 360
+    W, H = 960, 540
 
     # fast slab-sweep ray trace
     img = app.raytracer.render(app.camera, W, H, W / H, fast=True, shadows=True)
     write_png(os.path.join(outdir, "raytrace_fast.png"), np.asarray(img))
     print("wrote raytrace_fast.png")
 
-    # exact octree ray trace at reduced size
-    img = app.raytracer.render(app.camera, 320, 180, W / H, shadows=False)
+    # exact octree ray trace (reference semantics; routes to the
+    # sweep-exact tracer for this exterior pose, DDA-ladder fallback)
+    img = app.raytracer.render(app.camera, W, H, W / H, shadows=True)
     write_png(os.path.join(outdir, "raytrace_exact.png"), np.asarray(img))
     print("wrote raytrace_exact.png")
 
@@ -53,9 +54,9 @@ def main(outdir: str = "examples/frames") -> None:
     write_png(os.path.join(outdir, "blocks.png"), out["color"])
     print(f"wrote blocks.png ({out['mesh']['count']} tris)")
 
-    # volume raymarch (smaller: the faithful shader port is heavyweight)
+    # volume raymarch via the sweep fast path at full demo resolution
     app.mode = RenderMode.VOLUME_RAYCAST
-    out = app.frame(256, 144)
+    out = app.frame(W, H)
     write_png(os.path.join(outdir, "volume_raycast.png"), out["color"])
     print("wrote volume_raycast.png")
 

@@ -74,6 +74,10 @@ class RayTraceConfig:
     # nudge-epsilon grazing class; see trace/octree_trace.py)
     exact_ladder: bool = True            # wavefront compaction ladder
     exact_seed: bool = True              # conservative sweep seeds
+    # sweep-exact tracer (trace/sweep_exact.py): reference-semantics
+    # first-hit at MXU rates; used automatically when the pose is inside
+    # its exactness envelope, with the DDA ladder as the fallback
+    use_sweep_exact: bool = True
     exact_ball_skip: bool = False        # Chebyshev empty-ball skipping
     # light-occludability shadow prune: pays only for elevated lights /
     # sparse scenes (Calgary + the default shallow light legitimately

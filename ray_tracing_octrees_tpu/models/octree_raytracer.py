@@ -250,6 +250,7 @@ class OctreeRayTracer:
         self._leaf_vol = None
         self._seed_vol = None
         self._shadow_blk = None
+        self._exact_sfld = None
 
     def _ensure_leaf_vol(self):
         """Packed per-voxel leaf descriptors for the one-gather exact
@@ -298,6 +299,48 @@ class OctreeRayTracer:
             self.grid_origin, self.voxel_size,
             self.pyramid.code_levels[0].shape, camera.get_pos(),
         )
+
+    def _ensure_exact_shadow_field(self):
+        """Camera-independent sweep-exact shadow field (per scene+light);
+        None when the light is outside the field's slope envelope."""
+        if getattr(self, "_exact_sfld", None) is None:
+            from ray_tracing_octrees_tpu.trace.sweep_exact import (
+                build_shadow_field,
+            )
+
+            from ray_tracing_octrees_tpu.core.grid import host_fetch
+
+            self._ensure_fast()
+            vs = float(np.asarray(host_fetch(self.voxel_size)))
+            self._exact_sfld = (build_shadow_field(
+                self._fast_vol, self.config.raytrace.light_dir, vs),)
+        return self._exact_sfld[0]
+
+    def _render_sweep_exact(self, camera: Camera, width: int, height: int,
+                            aspect: float, shadows: bool):
+        """Sweep-exact frame, or None outside its envelope (caller falls
+        back to the DDA ladder)."""
+        from ray_tracing_octrees_tpu.core.grid import host_fetch
+        from ray_tracing_octrees_tpu.trace.sweep_exact import (
+            render_exact_frame,
+        )
+
+        rt = self.config.raytrace
+        self._ensure_fast()
+        sfld = self._ensure_exact_shadow_field() if shadows else None
+        if shadows and sfld is None:
+            return None
+        out = render_exact_frame(
+            self._fast_vol, self._ensure_leaf_vol(),
+            np.asarray(host_fetch(self.grid_origin)),
+            float(np.asarray(host_fetch(self.voxel_size))),
+            camera.get_pos(), camera.get_view(), width, height,
+            self.config.camera.fov_deg, aspect,
+            light_dir=rt.light_dir, base_color=rt.base_color,
+            ambient=rt.ambient, shadows=shadows, shadow_field=sfld)
+        if out is None:
+            return None
+        return out[0]
 
     def update_frustum(self, view_proj):
         """Culling step of renderSceneComputeWithCulling
@@ -365,6 +408,21 @@ class OctreeRayTracer:
                 base_color=rt.base_color,
                 ambient=rt.ambient,
             )
+        # Preferred exact path: the SWEEP-EXACT tracer (trace/sweep_exact.py,
+        # reference semantics at MXU rates — 27+ Mrays/s vs the DDA ladder's
+        # ~2.6 on Calgary). Frustum culling is skipped for it deliberately:
+        # primary rays lie inside the frustum by construction and the
+        # reference's node culling is a traversal optimization, not a
+        # semantic change (RayTracerBVH.cpp:743-812 keeps every node the
+        # rays can hit). Poses outside the exactness envelope (interior
+        # eye, footprint beyond the tap window) fall through to the DDA
+        # ladder below; so does a light outside the shadow field's slope
+        # envelope when shadows are on.
+        if rt.use_sweep_exact:
+            img = self._render_sweep_exact(camera, width, height, aspect,
+                                           shadows)
+            if img is not None:
+                return img
         pyr = self.culled_pyramid if (use_culling and self.culled_pyramid) else self.pyramid
         # Leaf-volume one-gather traversal for the scene pyramid; the culled
         # pyramid differs per pose, so culling keeps the per-level descent.

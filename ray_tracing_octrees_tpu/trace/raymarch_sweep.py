@@ -504,8 +504,16 @@ def _volume_frame(det_bf, cats, scal, time_value, n_chunks, s_valid,
     lin, behind, dirs, d_s_n = _warp_setup(
         scal, axis_world, inter_h, inter_w, width, height)
     safe = jnp.maximum(lin, 0)
-    w_depth = jnp.where(lin < 0, -1.0, jnp.take(packed, safe))
-    w_vals = tuple(jnp.where(lin < 0, 0.0, jnp.take(v, safe)) for v in vals)
+    # ONE row gather of the stacked per-texel record instead of 1 + n_ch
+    # scalar gathers: XLA's per-element gather runs at the ~8 ns scalar
+    # floor (5 gathers = ~80 ms at 1080p — the round-3 "1080p cliff",
+    # LADDER_r03 volume_raymarch_sweep 181 ms); row-major row gathers move
+    # whole records at near copy rate (docs/ROADMAP.md cost model).
+    tbl = jnp.stack((packed,) + tuple(vals), axis=1)      # [IH*IW, 1+n_ch]
+    rows = tbl[safe]                                      # [N, 1+n_ch]
+    w_depth = jnp.where(lin < 0, -1.0, rows[:, 0])
+    w_vals = tuple(jnp.where(lin < 0, 0.0, rows[:, 1 + j])
+                   for j in range(len(vals)))
     return _shade_pixels(w_depth, w_vals, behind, dirs, d_s_n, scal,
                          time_value, width, height)
 

@@ -58,10 +58,19 @@ def main():
         ).sum(axis=1)
         pc = host_fetch(pc.astype(jnp.int32))
         n_any = int((pc > 0).sum())
-        print(f"pose {i}: axis={axis_world} kcells={kcells} sp={case_sw.shape[0]} "
-              f"cands={n_any} ({n_any / N:.3f} N)  "
-              f"popcount mean={pc[pc > 0].mean():.2f} "
-              f"p99={np.percentile(pc[pc > 0], 99):.0f}", flush=True)
+        # recompute smax exactly as _scene_sweep_setup's kcells gate does
+        eye_s, eye_a, eye_b, z0 = scal_np[0], scal_np[1], scal_np[2], scal_np[3]
+        a_min, a_max, b_min, b_max = scal_np[4:8]
+        smax = max(abs(a_min - eye_a), abs(a_max - eye_a),
+                   abs(b_min - eye_b), abs(b_max - eye_b)) \
+            / max(abs(z0 - eye_s), 1e-12)
+        head = (f"pose {i}: axis={axis_world} kcells={kcells} smax={smax:.2f} "
+                f"sp={case_sw.shape[0]} cands={n_any} ({n_any / N:.3f} N)")
+        if n_any == 0:
+            print(head + "  (no candidate texels)", flush=True)
+        else:
+            print(head + f"  popcount mean={pc[pc > 0].mean():.2f} "
+                  f"p99={np.percentile(pc[pc > 0], 99):.0f}", flush=True)
 
 
 if __name__ == "__main__":

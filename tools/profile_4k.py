@@ -76,17 +76,25 @@ def main():
                        crop_lo, cfg))
 
     def pipelined(name, fns, reps=5):
-        outs = [f() for f in fns]
+        # Each fn takes the rep index and must perturb its inputs with it
+        # (the tunnel elides identical repeated dispatches — commit
+        # da7a94b; benchmarks.py defeats this with cam.phi += 1e-4/rep).
+        outs = [f(reps) for f in fns]
         jax.block_until_ready(outs)
         t0 = time.perf_counter()
         outs = []
-        for _ in range(reps):
+        for r in range(reps):
             for f in fns:
-                outs.append(f())
+                outs.append(f(r))
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / (reps * len(fns)) * 1e3
         print(f"{name:40s} {dt:8.2f} ms", flush=True)
         return dt
+
+    def perturb(scal, r):
+        # nudge eye_a by r*1e-5 voxels: changes the dispatch input while
+        # leaving the geometry (and any warp plan) visually identical
+        return scal.at[1].add(np.float32(1e-5) * r)
 
     # stage: sweep only (per pose)
     sweep_fns = []
@@ -97,20 +105,26 @@ def main():
             sv, axis_world, bool(flip), sp, A, B, crop_lo, S))
         scal = jnp.asarray(scal_np)
         sweep_fns.append(
-            lambda vb=vol_bf, sc=scal, nc=sp // 32, s=S, a=A, b=B, IH=ih,
+            lambda r, vb=vol_bf, sc=scal, nc=sp // 32, s=S, a=A, b=B, IH=ih,
             IW=iw, fl=bool(flip), sh=shv:
-            ss._sweep_all(vb, sc, nc, s, a, b, IH, IW, fl, shadow_sw=sh))
+            ss._sweep_all(vb, perturb(sc, r), nc, s, a, b, IH, IW, fl,
+                          shadow_sw=sh))
     d_sweep = pipelined("sweep_all (occ+shadow)", sweep_fns)
 
-    # stage: shadow relayout (per pose)
+    # stage: shadow relayout (per pose) — the JITTED production wrapper
+    # (one program), not the eager op-by-op _relayout_sweep; perturbed via
+    # a scaled copy of the shadow volume per rep (same program, new input)
+    sv_reps = [jax.block_until_ready(sv * (1.0 + 1e-6 * r))
+               for r in range(6)]
     relay_fns = []
     for (vol_bf, scal_np, ih, iw, axis_world, flip, S, A, B, crop_lo,
          cfg) in setups:
         sp = vol_bf.shape[0]
         relay_fns.append(
-            lambda ax=axis_world, fl=bool(flip), spx=sp, a=A, b=B,
-            cl=crop_lo, s=S: ss._relayout_sweep(sv, ax, fl, spx, a, b, cl, s))
-    pipelined("shadow relayout", relay_fns)
+            lambda r, ax=axis_world, fl=bool(flip), spx=sp, a=A, b=B,
+            cl=crop_lo, s=S: ss._shadow_relayout(
+                sv_reps[r % len(sv_reps)], ax, fl, spx, a, b, cl, s))
+    pipelined("shadow relayout (jitted)", relay_fns)
 
     # stage: warp+shade Pallas kernel alone (per pose, fixed packed input)
     from ray_tracing_octrees_tpu.trace.warp_kernel import (
@@ -133,8 +147,10 @@ def main():
         kscal = jax.block_until_ready(frame_scalars_kernel(scal, axis_world))
         ty, tx, win = cfg
         warp_fns.append(
-            lambda thl=t_hl, ks=kscal, TY=ty, TX=tx, WIN=win, ax=axis_world:
-            unpack_frame_rgb(warp_frame(thl, ks, TY, TX, WIN, ax, W, H, True),
+            lambda r, thl=t_hl, ks=kscal, TY=ty, TX=tx, WIN=win,
+            ax=axis_world:
+            unpack_frame_rgb(warp_frame(thl, ks.at[0].add(np.float32(1e-5) * r),
+                                        TY, TX, WIN, ax, W, H, True),
                              W, H))
     if warp_fns:
         pipelined("warp_frame+unpack (Pallas)", warp_fns)
