@@ -123,7 +123,11 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / iters
 
-    hit_frac = float((np.asarray(img[..., :3]).max(axis=-1) > 0).mean())
+    # device-side reduction: fetching the full frame (24 MB at 1080p) for
+    # this single statistic is needless d2h exposure on a degraded tunnel
+    hit_frac = float(np.asarray(jax.jit(
+        lambda im: (im[..., :3].max(axis=-1) > 0).mean(dtype=jnp.float32)
+    )(img)))
     # Dual accounting (skeptic's view): the headline counts primary +
     # per-pixel shadow term; value_primary_only counts primary rays only.
     rays = width * height * 2
@@ -150,16 +154,25 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
             jnp.asarray(cam.get_view(), jnp.float32), 45.0, aspect)
         ref = trace_octree(build_pyramid(grid.occ), o, d,
                            grid.origin, grid.voxel_size)
-        hf = np.asarray(hit_f)
-        rh = np.asarray(ref["hit"])
-        both = hf & rh
-        terr = np.abs(np.asarray(t_f)[both] - np.asarray(ref["t"])[both])
+        # all-reductions on device; fetch 3 scalars (raw mask fetches ride
+        # the slow unaligned-narrow-dtype path, and a degraded tunnel
+        # turns them into minutes)
+        @jax.jit
+        def _parity_stats(hf, tf, rh, rt):
+            mism = (hf != rh).mean(dtype=jnp.float32)
+            both = hf & rh
+            nb = both.sum()
+            se = jnp.where(both, (tf - rt) ** 2, 0.0).sum()
+            rms = jnp.sqrt(se / jnp.maximum(nb, 1))
+            return mism, rms, nb
+
+        mism, rms, nb = (np.asarray(v) for v in jax.block_until_ready(
+            _parity_stats(hit_f, t_f, ref["hit"], ref["t"])))
         vs = float(np.asarray(host_fetch(grid.voxel_size)))
         parity = {
-            "hit_mismatch_frac": round(float((hf != rh).mean()), 5),
-            "depth_rms_voxels": round(
-                float(np.sqrt((terr ** 2).mean()) / vs), 4) if both.any()
-            else None,
+            "hit_mismatch_frac": round(float(mism), 5),
+            "depth_rms_voxels": round(float(rms) / vs, 4)
+            if int(nb) else None,
         }
         _log(f"parity {parity}")
     except Exception as e:  # parity is diagnostic; never sink the bench

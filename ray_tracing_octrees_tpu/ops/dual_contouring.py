@@ -389,16 +389,16 @@ def cell_contains_surface(grid: VoxelGrid, cx, cy, cz, size: int):
 _PERP = {0: (1, 2), 1: (0, 2), 2: (0, 1)}  # dir -> perpendicular axes
 
 
+@jax.jit
 def _node_centers(tree, grid: VoxelGrid):
     """Per-node cell center with each node's own size."""
     corner = grid.grid_to_world(tree.x, tree.y, tree.z)
     return corner + 0.5 * tree.size[:, None].astype(jnp.float32) * grid.voxel_size
 
 
-@functools.partial(jax.jit, static_argnames=("s", "max_ratio"))
-def _pass0_level(grid, tree, id_vol, ids_j, n_real, node_mask, need_vertex,
-                 s: int, max_ratio: float):
-    """One level of DC pass 0 as a single program.
+def _pass0_level_body(grid, tree, id_vol, ids_j, n_real, node_mask,
+                      need_vertex, s: int, max_ratio: float):
+    """One level of DC pass 0 (traceable body; see _pass0_all).
 
     surface classification + per-direction min-corner crossing edges +
     size-ratio-gated adjacent-leaf lookups (createTriangles' neighbor
@@ -506,16 +506,48 @@ def _pass0_level(grid, tree, id_vol, ids_j, n_real, node_mask, need_vertex,
     return surf, adj_per_dir, need_vertex
 
 
-@functools.partial(jax.jit, static_argnames=("s", "stride", "qef_cfg"))
-def _pass1_level(grid, tree, vertex, ids_j, s: int, stride: int,
-                 qef_cfg: QEFConfig):
-    """One level of DC pass 1 as a single program: hermite shell scan +
+@functools.partial(jax.jit, static_argnames=("s", "max_ratio"))
+def _pass0_level(grid, tree, id_vol, ids_j, n_real, node_mask, need_vertex,
+                 s: int, max_ratio: float):
+    """Single-level pass 0 program (kept for probes/tools; the extraction
+    driver uses :func:`_pass0_all`)."""
+    return _pass0_level_body(grid, tree, id_vol, ids_j, n_real, node_mask,
+                             need_vertex, s, max_ratio)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "max_ratio"))
+def _pass0_all(grid, tree, id_vol, ids_list, n_real_arr, node_mask,
+               sizes: tuple, max_ratio: float):
+    """EVERY level of pass 0 as ONE program.
+
+    The per-level jitted form compiled (and dispatched) once per octree
+    level — 9 programs on Calgary, each a multi-second compile RPC on
+    remote-compile runtimes plus a ~30 ms warm dispatch floor
+    (docs/ROADMAP.md). The level loop is static, so unrolling it inside
+    one jit keeps the math bit-identical while collapsing 9 compiles +
+    9 dispatches into 1 + 1. ``ids_list``: per-level padded id buckets
+    (shapes static); ``n_real_arr``: i32[L] real counts; ``sizes``:
+    static per-level cell sizes.
+
+    Returns ([(surf, adj_per_dir)] per level, need_vertex).
+    """
+    need_vertex = jnp.zeros((tree.num_nodes,), bool)
+    outs = []
+    for i, s in enumerate(sizes):
+        surf, adj, need_vertex = _pass0_level_body(
+            grid, tree, id_vol, ids_list[i], n_real_arr[i], node_mask,
+            need_vertex, s, max_ratio)
+        outs.append((surf, adj))
+    return outs, need_vertex
+
+
+def _pass1_level_body(grid, tree, vertex, ids_j, s: int, stride: int,
+                      qef_cfg: QEFConfig):
+    """One level of DC pass 1 (traceable body): hermite shell scan +
     QEF dual vertex for every needed leaf of size ``s``.
 
     ids_j is padded/bucketed; duplicate padding ids scatter identical
-    vertices so the update is idempotent. Jitting the whole level matters
-    on remote-dispatch TPU runtimes: the eager form issued ~100 dispatches
-    per level and dominated the 21.7 s warm Calgary extraction."""
+    vertices so the update is idempotent."""
     pts, nrms, msk = gather_cell_hermite(
         grid, tree.x[ids_j], tree.y[ids_j], tree.z[ids_j], s, stride
     )
@@ -527,15 +559,53 @@ def _pass1_level(grid, tree, vertex, ids_j, s: int, stride: int,
     return vertex.at[ids_j].set(dv)
 
 
+@functools.partial(jax.jit, static_argnames=("s", "stride", "qef_cfg"))
+def _pass1_level(grid, tree, vertex, ids_j, s: int, stride: int,
+                 qef_cfg: QEFConfig):
+    """Single-level pass 1 program (kept for probes/tools; the extraction
+    driver uses :func:`_pass1_all`)."""
+    return _pass1_level_body(grid, tree, vertex, ids_j, s, stride, qef_cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("seg_cfg", "qef_cfg"))
+def _pass1_all(grid, tree, vertex, ids_list, seg_cfg: tuple,
+               qef_cfg: QEFConfig):
+    """EVERY level of pass 1 as ONE program (see _pass0_all's rationale).
+
+    ``seg_cfg``: static ((s, stride), ...) aligned with ``ids_list``. Each
+    level keeps its own hermite shell template (the shell shapes are
+    size-dependent), but they all live in one compiled program now.
+    """
+    for ids_j, (s, stride) in zip(ids_list, seg_cfg):
+        vertex = _pass1_level_body(grid, tree, vertex, ids_j, s, stride,
+                                   qef_cfg)
+    return vertex
+
+
 @functools.partial(jax.jit, static_argnames=("area_eps",))
-def _pass2_level(tree, vertex, ids_j, adj_per_dir, emitted_any,
+def _pass2_level(tree, vertex, ids_parts, adj_parts, emitted_any,
                  area_eps: float):
-    """One level of DC pass 2 (createTriangles emission over the 3 edge
-    directions) as a single program.
+    """DC pass 2 (createTriangles emission over the 3 edge directions),
+    every level, as a single program.
+
+    ``ids_parts``/``adj_parts``: per-level tuples straight from
+    _pass0_all — concatenated IN-PROGRAM (each driver-level eager
+    concatenate was its own ~30 ms warm dispatch on the remote runtime;
+    there were 22 of them).
 
     Returns (verts_flat [6P*9], normals_flat [6P*3], keep [6P],
     emitted_any') — flat f32 layouts (a [M,3,3] array tiles to T(4,128)
     on TPU: 57x the logical bytes)."""
+    ids_j = jnp.concatenate(ids_parts)
+    adj_per_dir = []
+    for d in range(3):
+        crossing = jnp.concatenate([a[d][0] for a in adj_parts])
+        infos = []
+        for j in range(3):
+            nid = jnp.concatenate([a[d][1][j][0] for a in adj_parts])
+            ok = jnp.concatenate([a[d][1][j][1] for a in adj_parts])
+            infos.append((nid, ok))
+        adj_per_dir.append((crossing, infos))
     n_nodes = tree.num_nodes
     solid_self = tree.is_solid[ids_j]
     v_self = vertex[ids_j]
@@ -685,44 +755,52 @@ def adaptive_dual_contouring(
         return _np.concatenate(
             [ids, _np.full(p - n, ids[0], ids.dtype)]), n
 
-    # ---- pass 0: surface leaves & crossing edges per level ----------------------
-    # ONE jitted program per (level size, id bucket): the previous eager
-    # form dispatched ~100 ops per level, and on remote-compile TPU
-    # runtimes dispatch count is the warm-path cost.
+    # ---- pass 0: surface leaves & crossing edges, ALL levels, ONE program --------
+    # (the per-level jitted form cost one compile RPC + one ~30 ms warm
+    # dispatch per level; the level loop is static, so it unrolls inside
+    # a single program — see _pass0_all)
     levels_present = sorted(set(level[leaf].tolist()))
     surface_by_level = {}
-    need_vertex = jnp.zeros((n_nodes,), bool)
     adj_ids_by_level = {}
 
+    seg_keys, seg_ids, seg_nreal, seg_sizes = [], [], [], []
     for k in levels_present:
         ids = _np.nonzero(leaf & (level == k))[0].astype(_np.int32)
         if len(ids) == 0:
             continue
         ids, n_real = _pad_pow2(ids)
-        ids_j = jnp.asarray(ids)
-        s = 1 << k
-        mask_arg = node_mask if node_mask is not None else None
-        surf, adj_per_dir, need_vertex = _pass0_level(
-            grid, tree, node_id_vol, ids_j, jnp.int32(n_real), mask_arg,
-            need_vertex, s=s, max_ratio=float(dc_cfg.max_size_ratio),
-        )
+        seg_keys.append(k)
+        seg_ids.append(jnp.asarray(ids))
+        seg_nreal.append(n_real)
+        seg_sizes.append(1 << k)
+    mask_arg = node_mask if node_mask is not None else None
+    outs, need_vertex = _pass0_all(
+        grid, tree, node_id_vol, tuple(seg_ids),
+        jnp.asarray(seg_nreal, jnp.int32), mask_arg,
+        sizes=tuple(seg_sizes), max_ratio=float(dc_cfg.max_size_ratio),
+    )
+    for k, ids_j, (surf, adj_per_dir) in zip(seg_keys, seg_ids, outs):
         surface_by_level[k] = (ids_j, surf)
         adj_ids_by_level[k] = adj_per_dir
 
-    # ---- pass 1: dual vertices for all needed leaves, per level ------------------
+    # ---- pass 1: dual vertices for all needed leaves, ALL levels, ONE program ----
     vertex = _node_centers(tree, grid)  # default: own-size cell center
     need_np = host_fetch(need_vertex).astype(bool)
+    p1_ids, p1_cfg = [], []
     for k in levels_present:
         ids = _np.nonzero(leaf & (level == k) & need_np)[0].astype(_np.int32)
         if len(ids) == 0:
             continue
         ids, _ = _pad_pow2(ids)   # duplicate ids write identical vertices
-        ids_j = jnp.asarray(ids)
         s = 1 << k
         stride = (
             dc_cfg.stride_large_cell if s > dc_cfg.stride_switch_size else 1
         )
-        vertex = _pass1_level(grid, tree, vertex, ids_j, s, stride, qef_cfg)
+        p1_ids.append(jnp.asarray(ids))
+        p1_cfg.append((s, stride))
+    if p1_ids:
+        vertex = _pass1_all(grid, tree, vertex, tuple(p1_ids),
+                            seg_cfg=tuple(p1_cfg), qef_cfg=qef_cfg)
 
     # ---- pass 2: triangle emission, ALL levels as one program --------------------
     # _pass2_level's math never uses the level size, so every level's
@@ -734,21 +812,11 @@ def adaptive_dual_contouring(
 
     lvls2 = [k for k in levels_present if k in adj_ids_by_level]
     if lvls2:
-        ids_cat = jnp.concatenate([surface_by_level[k][0] for k in lvls2])
-        adj_cat = []
-        for d in range(3):
-            crossing = jnp.concatenate(
-                [adj_ids_by_level[k][d][0] for k in lvls2])
-            infos = []
-            for j in range(3):
-                nid = jnp.concatenate(
-                    [adj_ids_by_level[k][d][1][j][0] for k in lvls2])
-                ok = jnp.concatenate(
-                    [adj_ids_by_level[k][d][1][j][1] for k in lvls2])
-                infos.append((nid, ok))
-            adj_cat.append((crossing, infos))
         v_flat, n_flat, k_flat, emitted_any = _pass2_level(
-            tree, vertex, ids_cat, adj_cat, emitted_any,
+            tree, vertex,
+            tuple(surface_by_level[k][0] for k in lvls2),
+            tuple(adj_ids_by_level[k] for k in lvls2),
+            emitted_any,
             area_eps=float(dc_cfg.degenerate_area_eps),
         )
         out_verts.append((v_flat, k_flat))
@@ -812,13 +880,13 @@ def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any,
     lvls = sorted(surface_by_level)
     if not lvls:
         return None, None, None
-    ids_cat = jnp.concatenate([surface_by_level[k][0] for k in lvls])
-    surf_cat = jnp.concatenate([surface_by_level[k][1] for k in lvls])
-    s_cat = jnp.concatenate([
-        jnp.full(surface_by_level[k][0].shape, 1 << k, jnp.int32)
-        for k in lvls
-    ])
-    elig = _fan_eligible(grid, tree, ids_cat, emitted_any, surf_cat, s_cat)
+    sizes = tuple(1 << k for k in lvls)
+    elig, ids_cat, s_cat = _fan_eligible(
+        grid, tree,
+        tuple(surface_by_level[k][0] for k in lvls),
+        emitted_any,
+        tuple(surface_by_level[k][1] for k in lvls),
+        sizes=sizes)
     elig_np = host_fetch(elig).astype(bool)
     sel = _np.nonzero(elig_np)[0].astype(_np.int32)
     if len(sel) == 0:
@@ -826,42 +894,57 @@ def _boundary_face_fans(grid, tree, vertex, surface_by_level, emitted_any,
     sel, n_real = _pad_pow2(sel, lo=64)
     sel_j = jnp.asarray(sel)
     return _fan_level(
-        grid, tree, vertex, id_vol, ids_cat[sel_j],
-        jnp.arange(len(sel)) < n_real, s_cat[sel_j],
+        grid, tree, vertex, id_vol, ids_cat, s_cat, sel_j,
+        jnp.int32(n_real),
         divisions=int(dc_cfg.face_fan_divisions),
         max_ratio=float(dc_cfg.max_size_ratio),
     )
 
 
-@jax.jit
-def _fan_eligible(grid, tree, ids_j, emitted_any, surf, s):
+@functools.partial(jax.jit, static_argnames=("sizes",))
+def _fan_eligible(grid, tree, ids_parts, emitted_any, surf_parts,
+                  sizes: tuple):
     """Fan candidacy per surface leaf: emitted nothing + touches the grid
-    boundary (one program over ALL levels — ``s`` is a per-row array;
-    feeds the host compaction)."""
+    boundary, one program over ALL levels. Takes per-level parts and
+    concatenates in-program (driver-level eager concats were their own
+    warm dispatches); returns (eligible, ids_cat, s_cat) so the caller
+    reuses the concatenated device arrays."""
+    ids_j = jnp.concatenate(ids_parts)
+    surf = jnp.concatenate(surf_parts)
+    s = jnp.concatenate([
+        jnp.full(p.shape, sz, jnp.int32)
+        for p, sz in zip(ids_parts, sizes)])
     dx, dy, dz = grid.dims_xyz
     cx, cy, cz = tree.x[ids_j], tree.y[ids_j], tree.z[ids_j]
     at_boundary = (
         (cx == 0) | (cy == 0) | (cz == 0)
         | (cx + s >= dx) | (cy + s >= dy) | (cz + s >= dz)
     )
-    return surf & (~emitted_any[ids_j]) & at_boundary
+    return surf & (~emitted_any[ids_j]) & at_boundary, ids_j, s
 
 
 @functools.partial(jax.jit, static_argnames=("divisions", "max_ratio"))
-def _fan_level(grid, tree, vertex, id_vol, ids_j, eligible, s,
+def _fan_level(grid, tree, vertex, id_vol, ids_cat, s_cat, sel_j, n_real,
                divisions: int, max_ratio: float):
     """Boundary-fan emission as a single program over ALL levels.
 
-    ``s`` is a TRACED per-row array (it only enters arithmetic), so every
-    level's candidates batch into one call — the eager per-level form
-    issued ~400 dispatches per level (192 emits x 2 ops), which dominated
-    the warm extraction on remote-dispatch runtimes.
+    ``sel_j``/``n_real`` select the host-compacted eligible rows from the
+    concatenated (ids_cat, s_cat) in-program (the eager index/arange ops
+    were their own warm dispatches). ``s`` is a TRACED per-row array (it
+    only enters arithmetic), so every level's candidates batch into one
+    call — the eager per-level form issued ~400 dispatches per level
+    (192 emits x 2 ops), which dominated the warm extraction on
+    remote-dispatch runtimes.
 
     Returns flat (verts [E*9], normals [E*3], keep [E]) with
     E = P * 6 faces * divisions^2 * 8 triangles."""
     import numpy as _np
 
     from ray_tracing_octrees_tpu.core.octree import find_node_vol
+
+    ids_j = ids_cat[sel_j]
+    s = s_cat[sel_j]
+    eligible = jnp.arange(sel_j.shape[0]) < n_real
 
     dx, dy, dz = grid.dims_xyz
     n_nodes = tree.num_nodes
