@@ -291,21 +291,24 @@ def _consume_state(m):
     )
 
 
-def _slab_pass(o_f, ro_sab, rd_sab, nb9, s_valid: int, a_size: int,
+def _slab_pass(o_f, ro3, rd3, nb9, s_valid: int, a_size: int,
                b_size: int, flip: bool, ta: int = 3, tb: int = 3):
     """One candidate slab per row: packed-neighborhood gather + exact
     ta x tb-cell AABB tests.
 
     Cells of slab o span s in [k, k+1] exactly, so the first slab with a
     valid solid intersection holds the ray's global nearest solid-voxel
-    entry. Returns (anyhit, t_entry, ca_win, cb_win) with t in the
-    parametrization of rd_sab and t_entry = max(entry, 0)."""
+    entry. ``ro3``/``rd3`` are (s, a, b) COMPONENT tuples of [m] arrays —
+    narrow-minor-dim [m, 3] layouts tile at T(8,128) = ~42x their bytes
+    on TPU (docs/ROADMAP.md), which made ray setup alone cost 20 ms at
+    1080p. Returns (anyhit, t_entry, ca_win, cb_win) with t in the
+    parametrization of rd3 and t_entry = max(entry, 0)."""
     f32 = jnp.float32
     i32 = jnp.int32
     ra, rb = (ta - 1) // 2, (tb - 1) // 2
     k = (f32(s_valid) - 1.0 - o_f) if flip else o_f
-    ro_s, ro_a, ro_b = ro_sab[:, 0], ro_sab[:, 1], ro_sab[:, 2]
-    rd_s, rd_a, rd_b = rd_sab[:, 0], rd_sab[:, 1], rd_sab[:, 2]
+    ro_s, ro_a, ro_b = ro3
+    rd_s, rd_a, rd_b = rd3
     t_c = (k + 0.5 - ro_s) / rd_s          # rd_s never ~0 (axis choice)
     pa = ro_a + rd_a * t_c
     pb = ro_b + rd_b * t_c
@@ -357,14 +360,14 @@ def _slab_pass(o_f, ro_sab, rd_sab, nb9, s_valid: int, a_size: int,
     return anyhit, best_t, k, best_ca, best_cb
 
 
-def _consume_round(st, c_bits, ro_sab, rd_sab, nb9, s_valid: int,
+def _consume_round(st, c_bits, ro3, rd3, nb9, s_valid: int,
                    a_size: int, b_size: int, flip: bool,
                    ta: int = 3, tb: int = 3):
     ptr, resolved = st["ptr"], st["resolved"]
     has, o_i = first_set_from(c_bits, ptr)
     act = ~resolved & has
     anyhit, t_min, k, wca, wcb = _slab_pass(
-        o_i.astype(jnp.float32), ro_sab, rd_sab, nb9, s_valid, a_size,
+        o_i.astype(jnp.float32), ro3, rd3, nb9, s_valid, a_size,
         b_size, flip, ta, tb)
     newly = act & anyhit
     miss = act & ~anyhit
@@ -380,42 +383,49 @@ def _consume_round(st, c_bits, ro_sab, rd_sab, nb9, s_valid: int,
     )
 
 
-def _consume_ladder(bits, ptr0, dead0, ro_sab, rd_sab, nb9,
+def _consume_ladder(bits_src, texrow, ptr0, dead0, ro3, rd3, nb9,
                     s_valid: int, a_size: int, b_size: int, flip: bool,
                     widths, round_caps, const_origin: bool,
-                    ta: int = 3, tb: int = 3, want_stage1: bool = False):
+                    ta: int = 3, tb: int = 3, want_stage1: bool = False,
+                    stage0_geom=None):
     """Run consume rounds on a gather-only compaction ladder.
 
-    ``widths``: static row counts of the successive stages (stage 0 =
-    full width implicit); ``round_caps``: per-stage max rounds. The
-    carry per row is (ro_sab, rd_sab, ptr, bits) packed into one i32
-    matrix so each stage compacts with a single row-major gather
-    (vector gathers are pathological on v5e — docs/ROADMAP.md). With
-    ``const_origin`` the origin row is not carried (primary rays: all
-    origins equal; rebuilt by broadcast).
+    ``bits_src`` is the [T, C] per-TEXEL candidate bit field and
+    ``texrow`` [N] maps rows to texels: full-width rows never materialize
+    their C bit words (the [N, C] row gather + repacking cost ~20 ms at
+    1080p); each compacted stage gathers ``bits_src[texrow_s]`` at ITS
+    width instead, and the carry per row is just (ptr, texrow, rd[, ro])
+    packed into one i32 matrix so each stage compacts with a single
+    row-major gather (vector gathers are pathological on v5e —
+    docs/ROADMAP.md). Requires ``round_caps[0] == 0`` (stage 0 has no
+    bits to consume). ``ro3``/``rd3``: (s, a, b) component tuples of [N]
+    arrays (narrow [N, 3] layouts tile at ~42x bytes). With
+    ``const_origin`` the origin is not carried (primary rays: all origins
+    equal; rebuilt by broadcast).
 
     Returns (state_full_width, rounds, overflow): survivors beyond a
     stage width stay behind unresolved (counted in overflow).
 
-    ``want_stage1`` (requires round_caps[0] == 0 and >= 2 widths):
-    return instead (state1, map1, rounds, overflow) with the COMPLETE
-    result set still compacted at stage-1 width M1 = widths[1] — since
-    stage 0 runs no rounds, every hit lives in stage 1's index space, so
-    callers can run per-hit epilogues (leaf normals, shadow rays,
-    shading) at M1 instead of full width and merge once at the very end
-    via ``map1`` = dict(unres [N] stage-1 membership mask, rank [N]
-    stage-1 row of each member, M, rd [M1, 3], ro [M1, 3]). Rows dead at
-    entry (seed-killed misses) never enter stage 1 and need no epilogue;
-    rows beyond M1 are the already-counted overflow.
+    ``want_stage1`` (requires >= 2 widths): return instead
+    (state1, map1, rounds, overflow) with the COMPLETE result set still
+    compacted at stage-1 width M1 = widths[1] — since stage 0 runs no
+    rounds, every hit lives in stage 1's index space, so callers can run
+    per-hit epilogues (leaf normals, shadow rays, shading) at M1 instead
+    of full width and merge once at the very end via ``map1`` =
+    dict(unres [N] stage-1 membership mask, rank [N] stage-1 row of each
+    member, M, rd (3x[M1]), ro (3x[M1])). Rows dead at entry
+    (seed-killed misses) never enter stage 1 and need no epilogue; rows
+    beyond M1 are the already-counted overflow.
     """
     f32 = jnp.float32
     i32 = jnp.int32
     as_i32 = lambda x: jax.lax.bitcast_convert_type(x, i32)
     as_f32 = lambda x: jax.lax.bitcast_convert_type(x, f32)
-    N = bits.shape[0]
+    N = texrow.shape[0]
+    assert round_caps[0] == 0, "stage 0 carries no bits; caps[0] must be 0"
 
     def run_stage(carry_rounds, width, cap, next_target, bits_s, ptr_s,
-                  dead_s, ro_s, rd_s):
+                  dead_s, ro3_s, rd3_s):
         st = _consume_state(width)
         st["ptr"] = ptr_s
         st["resolved"] = dead_s
@@ -429,57 +439,74 @@ def _consume_ladder(bits, ptr0, dead0, ro_sab, rd_sab, nb9,
             s2 = _consume_round(
                 dict(ptr=s["ptr"], resolved=s["resolved"], hit=s["hit"],
                      t=s["t"], ks=s["ks"], ca=s["ca"], cb=s["cb"]),
-                bits_s, ro_s, rd_s, nb9, s_valid, a_size, b_size, flip,
+                bits_s, ro3_s, rd3_s, nb9, s_valid, a_size, b_size, flip,
                 ta, tb)
             s2["rounds_t"] = s["rounds_t"] + 1
             return s2
 
         return jax.lax.while_loop(cond, body, st)
 
-    C = bits.shape[1]
     rounds = jnp.zeros((), i32)
     overflow = jnp.zeros((), i32)
     caps = list(round_caps)
     tgts = [w for w in widths[1:]] + [0]
 
-    st0 = run_stage(rounds, N, caps[0], tgts[0] if len(widths) > 1 else 0,
-                    bits, ptr0, dead0, ro_sab, rd_sab)
-    rounds = st0.pop("rounds_t")
-    g = st0
+    # stage 0: no rounds (no bits at full width); state passthrough
+    g = _consume_state(N)
+    g["ptr"] = ptr0
+    g["resolved"] = dead0
 
-    prev = dict(resolved=g["resolved"], ptr=g["ptr"], bits=bits,
-                ro=ro_sab, rd=rd_sab, width=N)
+    prev = dict(resolved=g["resolved"], ptr=g["ptr"], texrow=texrow,
+                ro=ro3, rd=rd3, width=N)
     entries = []
     for si, M in enumerate(widths[1:]):
         unres = ~prev["resolved"]
         n_unres = jnp.sum(unres)
         overflow = overflow + jnp.maximum(n_unres - M, 0)
         rank = jnp.cumsum(unres.astype(i32)) - 1
-        sc = jnp.where(unres & (rank < M), rank, M)
-        cols = [prev["ptr"][:, None], prev["bits"]]
-        cols += [as_i32(prev["rd"][:, j])[:, None] for j in range(3)]
-        if not const_origin:
-            cols += [as_i32(prev["ro"][:, j])[:, None] for j in range(3)]
-        packed = jnp.concatenate(cols, axis=1)
-        idxs = jnp.zeros(M, i32).at[sc].set(
-            jnp.arange(prev["width"], dtype=i32), mode="drop")
-        rows = packed[idxs]
-        ptr_s, bits_s = rows[:, 0], rows[:, 1:1 + C]
-        rd_s = jnp.stack([as_f32(rows[:, 1 + C + j]) for j in range(3)], 1)
-        if const_origin:
-            ro_s = jnp.broadcast_to(ro_sab[:1], (M, 3))
+        # stable-sort compaction: live rows first in original order
+        # (measured 5.7 ms vs 13.4 for the iota-scatter form at 2.09M
+        # rows). Slots past n_unres hold arbitrary dead rows — exactly
+        # the region row_valid masks off below.
+        _, idxs = jax.lax.sort(
+            (jnp.where(unres, 0, 1).astype(i32),
+             jnp.arange(prev["width"], dtype=i32)),
+            num_keys=1, is_stable=True)
+        idxs = idxs[:M] if M <= prev["width"] else jnp.pad(
+            idxs, (0, M - prev["width"]))
+        if si == 0 and stage0_geom is not None:
+            # stage-0 rows carry NOTHING: every per-row quantity is a
+            # closed form of the pixel index (primary rays), recomputed
+            # at stage-1 width instead of packed/gathered at full width
+            # (the [N, 5] concat + row gather cost ~5 ms at 1080p)
+            ro3_s, rd3_s, texrow_s = stage0_geom(idxs)
+            ptr_s = jnp.zeros(M, i32)
+            bits_s = bits_src[texrow_s]
         else:
-            ro_s = jnp.stack(
-                [as_f32(rows[:, 4 + C + j]) for j in range(3)], 1)
+            cols = [prev["ptr"][:, None], prev["texrow"][:, None]]
+            cols += [as_i32(prev["rd"][j])[:, None] for j in range(3)]
+            if not const_origin:
+                cols += [as_i32(prev["ro"][j])[:, None] for j in range(3)]
+            packed = jnp.concatenate(cols, axis=1)
+            rows = packed[idxs]
+            ptr_s, texrow_s = rows[:, 0], rows[:, 1]
+            bits_s = bits_src[texrow_s]
+            rd3_s = tuple(as_f32(rows[:, 2 + j]) for j in range(3))
+            if const_origin:
+                ro3_s = tuple(jnp.broadcast_to(ro3[j][:1], (M,))
+                              for j in range(3))
+            else:
+                ro3_s = tuple(as_f32(rows[:, 5 + j]) for j in range(3))
         row_valid = jnp.arange(M) < jnp.minimum(n_unres, M)
         st_l = run_stage(rounds, M, caps[si + 1],
                          tgts[si + 1] if si + 1 < len(tgts) else 0,
-                         bits_s, ptr_s, ~row_valid, ro_s, rd_s)
+                         bits_s, ptr_s, ~row_valid, ro3_s, rd3_s)
         rounds = st_l.pop("rounds_t")
         entries.append(dict(unres=unres, rank=rank, M=M, st=st_l,
-                            rd=rd_s, ro=ro_s))
+                            rd=rd3_s, ro=ro3_s, pix=idxs,
+                            row_valid=row_valid))
         prev = dict(resolved=st_l["resolved"], ptr=st_l["ptr"],
-                    bits=bits_s, ro=ro_s, rd=rd_s, width=M)
+                    texrow=texrow_s, ro=ro3_s, rd=rd3_s, width=M)
 
     def merge_back(dst, unres_in, rank_in, src, m_src):
         take = unres_in & (rank_in < m_src)
@@ -510,7 +537,8 @@ def _consume_ladder(bits, ptr0, dead0, ro_sab, rd_sab, nb9,
                                 entries[i + 1]["M"])
         map1 = dict(unres=entries[0]["unres"], rank=entries[0]["rank"],
                     M=entries[0]["M"], rd=entries[0]["rd"],
-                    ro=entries[0]["ro"])
+                    ro=entries[0]["ro"], pix=entries[0]["pix"],
+                    row_valid=entries[0]["row_valid"])
         return merged, map1, rounds, overflow
     if entries:
         merged = entries[-1]["st"]
@@ -728,16 +756,16 @@ def sweep_exact_setup(volume, grid_origin, voxel_size, camera_pos, view,
 
 def _primary_ladder(n: int, sp: int):
     """Stage widths/caps tuned to the MEASURED survivor decay on Calgary
-    960x540 (tools probe, round-3): live after the seed kill 27.6% of N,
-    then 8.4% -> 1.9% -> 0.5% per consume round — so one stage at ~0.36N
-    absorbs the live set with margin, two rounds there leave <2%, and the
-    tail exhausts at ~0.05N/0.01N. The old 6-stage schedule paid ~2x the
-    round rows and 1.08M scatter elements in compactions alone. Caps are
-    cumulative; every ladder ends at cap >= sp so exactness never depends
-    on the schedule (overflow is counted, not dropped)."""
-    widths = (n, max(2048, int(n * 0.36)), max(1024, n // 20),
-              max(512, n // 112))
-    caps = (0, 2, 4, 4 + sp)
+    (tools probe, round-3): live after the seed kill 27.6% of N, then
+    8.4% -> 1.9% -> 0.5% per consume round. With sort-compaction cheap
+    (~2 ms at 0.36N), every early stage runs exactly ONE round and
+    compacts — round 2 at 0.10n instead of 0.36n saves its nb9 gather
+    and VPU width. Caps are cumulative; every ladder ends at cap >= sp
+    so exactness never depends on the schedule (overflow is counted,
+    not dropped)."""
+    widths = (n, max(2048, int(n * 0.36)), max(1024, int(n * 0.10)),
+              max(1024, int(n * 0.03)), max(512, n // 112))
+    caps = (0, 1, 2, 4, 4 + sp)
     return widths, caps
 
 
@@ -751,14 +779,62 @@ def _shadow_ladder(n: int, sp: int):
     return widths, caps
 
 
+def _rays_sab_from_xy(xf, yf, scal, axis_world: int, width: int,
+                      height: int):
+    """Ray directions as (s, a, b) COMPONENT arrays for pixel coords
+    (xf, yf) [f32 arrays].
+
+    Reproduces render/camera.py::generate_rays' math op-for-op
+    (normalize in view space, rotate, normalize in world space) without
+    ever materializing an [N, 3] array — the narrow-minor-dim layout
+    tiles at T(8,128) = ~42x its bytes. Shared by the full-frame path
+    and the stage-0 compaction callback (same ops => bit-identical rays
+    for the same pixel). The sweep components are a PERMUTATION of the
+    world components (axis selectors are unit basis vectors), picked by
+    index instead of dot products.
+    """
+    import math as _math
+
+    f32 = jnp.float32
+    fov = scal[8] * f32(_math.pi / 180.0)
+    tan_half = jnp.tan(fov * 0.5)
+    aspect = scal[9]
+    view = scal[18:34].reshape(4, 4)
+    R = jnp.linalg.inv(view)[:3, :3]
+    nxf = ((xf + 0.5) / width * 2.0 - 1.0) * aspect * tan_half
+    nyf = (1.0 - (yf + 0.5) / height * 2.0) * tan_half
+    inv1 = 1.0 / jnp.sqrt(nxf * nxf + nyf * nyf + 1.0)
+    dv = (nxf * inv1, nyf * inv1, -inv1)
+    dw = [dv[0] * R[c, 0] + dv[1] * R[c, 1] + dv[2] * R[c, 2]
+          for c in range(3)]
+    inv2 = 1.0 / jnp.sqrt(dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2])
+    dw = [c * inv2 for c in dw]
+    perm = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis_world]
+    return tuple(dw[perm[i]] for i in range(3))
+
+
+def _pixel_rays_sab(scal, axis_world: int, width: int, height: int):
+    """Full-frame (s, a, b) ray components [N] (row-major from top)."""
+    f32 = jnp.float32
+    xg, yg = jnp.meshgrid(jnp.arange(width, dtype=f32),
+                          jnp.arange(height, dtype=f32), indexing="xy")
+    return _rays_sab_from_xy(xg.reshape(-1), yg.reshape(-1), scal,
+                             axis_world, width, height)
+
+
 def _primary_core(occ_sw, nb9, scal, axis_world: int, flip: bool,
                   S: int, A: int, B: int, IH: int, IW: int,
                   width: int, height: int, ta: int = 3, tb: int = 3,
-                  stage1: bool = False):
+                  stage1: bool = False, warp_cfg=None, ladder=None):
     """Shared jit body: detection sweep + per-pixel exact consume.
 
-    Returns (res dict, origins, dirs). res: hit, t (world), ks/ca/cb
+    Returns (res dict, None, None). res: hit, t (world), ks/ca/cb
     (hit voxel in sweep coords), rounds, overflow, unresolved.
+
+    The per-pixel dead test (texel has no candidate slab at all) rides
+    the Pallas one-hot warp of the texel any-flag table instead of a
+    full-width [N, C] bits row gather + any-reduce (10.5 ms at 1080p);
+    stages gather their bit rows from the texel field at THEIR width.
 
     With ``stage1``, the result set stays compacted at stage-1 width
     (every hit lives there because stage 0 runs no rounds): res gains
@@ -766,13 +842,10 @@ def _primary_core(occ_sw, nb9, scal, axis_world: int, flip: bool,
     rays per stage-1 row, reconstructed exactly from the carried sweep
     components — the axis selectors are a permutation), and hit/t/ks/
     ca/cb are [M1] instead of [N]. The full-width per-pixel epilogue
-    (leaf normal + shade + shadow, all hit-only work) then runs at M1,
-    which measured 9.3 ms/frame cheaper at 960x540 (the leaf-volume
-    byte gather alone was 9.3 ms at N vs 3.3 at M1).
+    (leaf normal + shade + shadow, all hit-only work) then runs at M1.
     """
-    from ray_tracing_octrees_tpu.render.camera import generate_rays
-
     f32 = jnp.float32
+    i32 = jnp.int32
     N = width * height
     sp = occ_sw.shape[0]
     eye_s, eye_a, eye_b, z0 = scal[0], scal[1], scal[2], scal[3]
@@ -785,76 +858,123 @@ def _primary_core(occ_sw, nb9, scal, axis_world: int, flip: bool,
         (occ_sw > 0).astype(jnp.bfloat16), hats, sp // 32, S, A, B,
         IH, IW, flip, exact_acc=(ta > 3 or tb > 3))
 
-    origins, dirs = generate_rays(
-        width, height, scal[15:18], scal[18:34].reshape(4, 4),
-        scal[8], scal[9])
-    sel = _AXIS_SELECTORS[axis_world]
-    rd_sab = jnp.stack(
-        [dirs @ jnp.asarray(s, f32) for s in sel], axis=1) / vs
-    ro_sab = jnp.broadcast_to(
-        jnp.stack([eye_s, eye_a, eye_b])[None, :], (N, 3))
-    rd_s = rd_sab[:, 0]
+    rd3 = tuple(c / vs for c in _pixel_rays_sab(scal, axis_world,
+                                                width, height))
+    ro3 = (jnp.broadcast_to(eye_s, (N,)), jnp.broadcast_to(eye_a, (N,)),
+           jnp.broadcast_to(eye_b, (N,)))
+    rd_s = rd3[0]
     forward = (rd_s < 0) if flip else (rd_s > 0)
     safe = jnp.where(jnp.abs(rd_s) < _DEG, 1.0, rd_s)
-    ua = eye_a + (z0 - eye_s) * rd_sab[:, 1] / safe
-    ub = eye_b + (z0 - eye_s) * rd_sab[:, 2] / safe
+    ua = eye_a + (z0 - eye_s) * rd3[1] / safe
+    ub = eye_b + (z0 - eye_s) * rd3[2] / safe
     in_win = (ua >= a_min) & (ua <= a_max) & (ub >= b_min) & (ub <= b_max)
     ti = jnp.clip(jnp.floor((ua - a_min) / (a_max - a_min) * IH
-                            ).astype(jnp.int32), 0, IH - 1)
+                            ).astype(i32), 0, IH - 1)
     tj = jnp.clip(jnp.floor((ub - b_min) / (b_max - b_min) * IW
-                            ).astype(jnp.int32), 0, IW - 1)
-    brow = bits_tex[ti * IW + tj]                    # row gather [N, C]
-    dead0 = ~forward | ~in_win | ~(brow != 0).any(axis=1)
+                            ).astype(i32), 0, IW - 1)
+    texrow = ti * IW + tj
 
-    widths, caps = _primary_ladder(N, sp)
+    # dead test by Pallas warp of the texel any-flag (the kernel's lin
+    # decode is a fixed iu = lin >> 10, iv = lin & 1023 — valid for any
+    # IW <= 1024); without a planned config (non-TPU backends,
+    # pathological cameras) fall back to the full-width row gather + any
+    geo_dead = ~forward | ~in_win
+    if warp_cfg is not None:
+        from ray_tracing_octrees_tpu.trace.warp_kernel import warp_lookup
+
+        ty, tx, win = warp_cfg
+        any_t = jnp.where((bits_tex != 0).any(axis=1), 1.0, -1.0
+                          ).astype(jnp.bfloat16).reshape(IH, IW)
+        lin2 = jnp.where(geo_dead, -1, (ti << 10) | tj
+                         ).reshape(height, width)
+        ph, pw = (-height) % ty, (-width) % tx
+        if ph or pw:
+            lin2 = jnp.pad(lin2, ((0, ph), (0, pw)), constant_values=-1)
+        any_pix = warp_lookup(any_t, lin2, ty, tx, win, n_planes=1
+                              )[:height, :width].reshape(-1)
+        dead0 = geo_dead | (any_pix < 0.0)
+    else:
+        dead0 = geo_dead | ~(bits_tex[texrow] != 0).any(axis=1)
+
+    def stage0_geom(idxs):
+        # all stage-1 row data recomputed from pixel indices (identical
+        # ops to the full-width forms above => bit-identical rays)
+        xf = (idxs % width).astype(f32)
+        yf = (idxs // width).astype(f32)
+        rd3_s = tuple(c / vs for c in _rays_sab_from_xy(
+            xf, yf, scal, axis_world, width, height))
+        rs = rd3_s[0]
+        sf_ = jnp.where(jnp.abs(rs) < _DEG, 1.0, rs)
+        ua_ = eye_a + (z0 - eye_s) * rd3_s[1] / sf_
+        ub_ = eye_b + (z0 - eye_s) * rd3_s[2] / sf_
+        ti_ = jnp.clip(jnp.floor((ua_ - a_min) / (a_max - a_min) * IH
+                                 ).astype(i32), 0, IH - 1)
+        tj_ = jnp.clip(jnp.floor((ub_ - b_min) / (b_max - b_min) * IW
+                                 ).astype(i32), 0, IW - 1)
+        m = idxs.shape[0]
+        ro3_s = (jnp.broadcast_to(eye_s, (m,)),
+                 jnp.broadcast_to(eye_a, (m,)),
+                 jnp.broadcast_to(eye_b, (m,)))
+        return ro3_s, rd3_s, ti_ * IW + tj_
+
+    widths, caps = ladder if ladder is not None else _primary_ladder(N, sp)
     if stage1:
         g1, map1, rounds, overflow = _consume_ladder(
-            brow, jnp.zeros(N, jnp.int32), dead0, ro_sab, rd_sab, nb9,
+            bits_tex, texrow, jnp.zeros(N, i32), dead0, ro3, rd3, nb9,
             S, A, B, flip, widths, caps, const_origin=True, ta=ta, tb=tb,
-            want_stage1=True)
-        sel_m = jnp.stack([jnp.asarray(s, f32) for s in sel], axis=0)
-        dirs1 = (map1["rd"] @ sel_m) * vs         # exact: sel is a perm
-        origins1 = jnp.broadcast_to(scal[15:18][None, :],
-                                    (map1["M"], 3))
+            want_stage1=True, stage0_geom=stage0_geom)
+        perm = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis_world]
+        inv_perm = [perm.index(c) for c in range(3)]
+        # component tuples (exact: the selector is a permutation + scale)
+        dirs1 = tuple(map1["rd"][inv_perm[c]] * vs for c in range(3))
+        origins1 = tuple(jnp.broadcast_to(scal[15 + c], (map1["M"],))
+                         for c in range(3))
         res = dict(hit=g1["hit"], t=g1["t"], ks=g1["ks"], ca=g1["ca"],
                    cb=g1["cb"], rounds=rounds, overflow=overflow,
                    unresolved=(jnp.sum(~g1["resolved"] & ~g1["hit"])
                                + overflow),
                    map1=map1, dirs1=dirs1, origins1=origins1)
-        return res, origins, dirs
+        return res, None, None
     g, rounds, overflow = _consume_ladder(
-        brow, jnp.zeros(N, jnp.int32), dead0, ro_sab, rd_sab, nb9,
-        S, A, B, flip, widths, caps, const_origin=True, ta=ta, tb=tb)
+        bits_tex, texrow, jnp.zeros(N, i32), dead0, ro3, rd3, nb9,
+        S, A, B, flip, widths, caps, const_origin=True, ta=ta, tb=tb,
+        stage0_geom=stage0_geom)
     res = dict(hit=g["hit"], t=g["t"], ks=g["ks"], ca=g["ca"], cb=g["cb"],
                rounds=rounds, overflow=overflow,
                unresolved=jnp.sum(~g["resolved"] & ~g["hit"]))
-    return res, origins, dirs
+    return res, None, None
 
 
 def _leaf_normal(res, origins, dirs, leaf_flat, leaf_S: int,
                  axis_world: int, grid_origin, vs):
     """Leaf-node normal at the hit voxel (normalize(p - nodeCenter),
-    RayTracerBVH.cpp:283-287) via one leaf-volume byte gather."""
+    RayTracerBVH.cpp:283-287) via one leaf-volume byte gather.
+
+    Component-wise throughout — [M, 3] narrow layouts tile at ~42x their
+    bytes; returns (point3, nrm3) as xyz tuples of [M] arrays."""
     f32 = jnp.float32
     i32 = jnp.int32
-    sel = _AXIS_SELECTORS[axis_world]
-    si = [jnp.asarray(s, i32) for s in sel]
-    v = (res["ks"][:, None] * si[0][None, :]
-         + res["ca"][:, None] * si[1][None, :]
-         + res["cb"][:, None] * si[2][None, :])     # [N, 3] xyz
-    vx, vy, vz = v[:, 0], v[:, 1], v[:, 2]
-    idx = (vz * leaf_S + vy) * leaf_S + vx
+    perm = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis_world]
+    inv_perm = [perm.index(c) for c in range(3)]
+    sab = (res["ks"], res["ca"], res["cb"])
+    v3 = [sab[inv_perm[c]] for c in range(3)]        # voxel xyz
+    idx = (v3[2] * leaf_S + v3[1]) * leaf_S + v3[0]
     byte = jnp.take(leaf_flat, jnp.clip(idx, 0, leaf_flat.shape[0] - 1)
                     ).astype(i32)
     level = (byte >> 1) & 15
-    cmin = ((v >> level[:, None]) << level[:, None]).astype(f32)
     csize = (jnp.int32(1) << level).astype(f32)
-    point = origins + dirs * res["t"][:, None]
-    center = grid_origin[None, :] + (cmin + 0.5 * csize[:, None]) * vs
-    nrm = point - center
-    nl = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
-    nrm = jnp.where(res["hit"][:, None], nrm / jnp.maximum(nl, 1e-30), 0.0)
-    return point, nrm
+    point3, nrm3, n2 = [], [], 0.0
+    for c in range(3):
+        p_c = origins[c] + dirs[c] * res["t"]
+        cmin = ((v3[c] >> level) << level).astype(f32)
+        cen = grid_origin[c] + (cmin + 0.5 * csize) * vs
+        n_c = p_c - cen
+        point3.append(p_c)
+        nrm3.append(n_c)
+        n2 = n2 + n_c * n_c
+    inv = 1.0 / jnp.maximum(jnp.sqrt(n2), 1e-30)
+    nrm3 = [jnp.where(res["hit"], n_c * inv, 0.0) for n_c in nrm3]
+    return point3, nrm3
 
 
 def _merge1_to_n(map1, cols, defaults):
@@ -885,40 +1005,46 @@ def _merge1_to_n(map1, cols, defaults):
 
 def _shadow_ladder_stage1(m: int, sp: int):
     """Shadow ladder when origins are ALREADY compacted at stage-1 width
-    m (~2/3 of rows live): run the first round in place, then shrink on
-    the measured decay (15.5k / 1.9k of 518k pixels after rounds 1/2)."""
-    widths = (m, max(1024, m // 8), max(512, m // 64))
-    caps = (1, 3, 3 + sp)
+    m: compact immediately onto the live (primary-hit) rows — ~2/3 of m —
+    run the first round there, then shrink on the measured decay
+    (15.5k / 1.9k of 518k pixels after rounds 1/2)."""
+    widths = (m, max(1024, int(m * 0.75)), max(1024, int(m * 0.12)),
+              max(512, m // 64))
+    caps = (0, 1, 3, 3 + sp)
     return widths, caps
 
 
-def _shadow_occluded(sf_bits, sf_nb9, sf_lsab, shadow_o_vox, s_live,
+def _shadow_occluded(sf_bits, sf_nb9, sf_lsab, o_vox3, s_live,
                      meta, ladder=None):
     """Exact occlusion of shadow rays (shared dir) via the precomputed
-    light-space field. ``shadow_o_vox``: origins in VOXEL xyz coords."""
+    light-space field. ``o_vox3``: origin components in VOXEL xyz."""
     (axis_l, flip_l, S_l, A_l, B_l, sp_l, aa_min, aa_span, ab_min,
      ab_span, IHs, IWs, sa, sb, ta_l, tb_l) = meta
     f32 = jnp.float32
     i32 = jnp.int32
-    N = shadow_o_vox.shape[0]
-    sel = _AXIS_SELECTORS[axis_l]
-    ro = jnp.stack([shadow_o_vox @ jnp.asarray(s, f32) for s in sel], 1)
-    rd = jnp.broadcast_to(sf_lsab[None, :], (N, 3))
-    aa = ro[:, 1] - f32(sa) * ro[:, 0]
-    ab = ro[:, 2] - f32(sb) * ro[:, 0]
+    N = o_vox3[0].shape[0]
+    perm = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}[axis_l]
+    ro3 = tuple(o_vox3[perm[i]] for i in range(3))
+    rd3 = tuple(jnp.broadcast_to(sf_lsab[i], (N,)) for i in range(3))
+    aa = ro3[1] - f32(sa) * ro3[0]
+    ab = ro3[2] - f32(sb) * ro3[0]
     ti = jnp.clip(jnp.floor((aa - aa_min) / aa_span * IHs).astype(i32),
                   0, IHs - 1)
     tj = jnp.clip(jnp.floor((ab - ab_min) / ab_span * IWs).astype(i32),
                   0, IWs - 1)
-    brow = sf_bits[ti * IWs + tj]
-    k0 = jnp.floor(ro[:, 0]).astype(i32)
+    texrow = ti * IWs + tj
+    k0 = jnp.floor(ro3[0]).astype(i32)
     o0 = (S_l - 1 - k0) if flip_l else k0
-    dead0 = (~s_live | (o0 >= S_l) | ~(brow != 0).any(axis=1))
+    # no any-candidate pre-test: on the shallow city light nearly every
+    # live shadow ray has candidates (the round-3 prune measured zero
+    # kills), and any per-row flag fetch at full width costs more than
+    # letting the first in-ladder round resolve empties via first_set
+    dead0 = ~s_live | (o0 >= S_l)
     ptr0 = jnp.maximum(o0, 0)
     widths, caps = ladder if ladder is not None else _shadow_ladder(N, sp_l)
     g, rounds, overflow = _consume_ladder(
-        brow, ptr0, dead0, ro, rd, sf_nb9, S_l, A_l, B_l, flip_l,
-        widths, caps, const_origin=False, ta=ta_l, tb=tb_l)
+        sf_bits, texrow, ptr0, dead0, ro3, rd3, sf_nb9, S_l, A_l, B_l,
+        flip_l, widths, caps, const_origin=False, ta=ta_l, tb=tb_l)
     return (g["hit"] & s_live, rounds, overflow,
             jnp.sum(~g["resolved"] & ~g["hit"] & s_live))
 
@@ -926,29 +1052,33 @@ def _shadow_occluded(sf_bits, sf_nb9, sf_lsab, shadow_o_vox, s_live,
 @functools.partial(
     jax.jit,
     static_argnames=("axis_world", "flip", "S", "A", "B", "IH", "IW",
-                     "width", "height", "leaf_S", "ta", "tb"))
+                     "width", "height", "leaf_S", "ta", "tb", "warp_cfg"))
 def _trace_pixels_jit(occ_sw, nb9, leaf_flat, scal, axis_world, flip,
                       S, A, B, IH, IW, width, height, leaf_S,
-                      ta=3, tb=3):
-    res, origins, dirs = _primary_core(
+                      ta=3, tb=3, warp_cfg=None):
+    res, _, _ = _primary_core(
         occ_sw, nb9, scal, axis_world, flip, S, A, B, IH, IW,
-        width, height, ta, tb, stage1=True)
+        width, height, ta, tb, stage1=True, warp_cfg=warp_cfg)
     t1 = jnp.where(res["hit"], res["t"], 0.0)
-    point1, nrm1 = _leaf_normal(
+    o1 = res["origins1"]
+    d1 = res["dirs1"]
+    point3, nrm3 = _leaf_normal(
         dict(hit=res["hit"], t=t1, ks=res["ks"], ca=res["ca"],
              cb=res["cb"]),
-        res["origins1"], res["dirs1"], leaf_flat, leaf_S,
-        axis_world, scal[12:15], scal[10])
+        o1, d1, leaf_flat, leaf_S,
+        axis_world, tuple(scal[12 + c] for c in range(3)), scal[10])
     N = width * height
     f32 = jnp.float32
-    eye = jnp.broadcast_to(scal[15:18][None, :], (N, 3))
+    zero = jnp.zeros(N, f32)
     merged = _merge1_to_n(
         res["map1"],
-        [res["hit"], t1, point1[:, 0], point1[:, 1], point1[:, 2],
-         nrm1[:, 0], nrm1[:, 1], nrm1[:, 2]],
-        [jnp.zeros(N, jnp.bool_), jnp.zeros(N, f32),
-         eye[:, 0], eye[:, 1], eye[:, 2],
-         jnp.zeros(N, f32), jnp.zeros(N, f32), jnp.zeros(N, f32)])
+        [res["hit"], t1, point3[0], point3[1], point3[2],
+         nrm3[0], nrm3[1], nrm3[2]],
+        [jnp.zeros(N, jnp.bool_), zero,
+         jnp.broadcast_to(scal[15], (N,)),
+         jnp.broadcast_to(scal[16], (N,)),
+         jnp.broadcast_to(scal[17], (N,)),
+         zero, zero, zero])
     hit, t = merged[0], merged[1]
     point = jnp.stack(merged[2:5], axis=1)
     nrm = jnp.stack(merged[5:8], axis=1)
@@ -961,36 +1091,35 @@ def _trace_pixels_jit(occ_sw, nb9, leaf_flat, scal, axis_world, flip,
     jax.jit,
     static_argnames=("axis_world", "flip", "S", "A", "B", "IH", "IW",
                      "width", "height", "leaf_S", "shadows", "sf_meta",
-                     "ta", "tb"))
+                     "ta", "tb", "warp_cfg"))
 def _exact_frame_jit(occ_sw, nb9, leaf_flat, scal, sf_bits, sf_nb9,
                      sf_lsab, axis_world, flip, S, A, B, IH, IW,
                      width, height, leaf_S, shadows, sf_meta,
-                     ta=3, tb=3):
+                     ta=3, tb=3, warp_cfg=None):
     f32 = jnp.float32
-    res, origins, dirs = _primary_core(
+    res, _, _ = _primary_core(
         occ_sw, nb9, scal, axis_world, flip, S, A, B, IH, IW,
-        width, height, ta, tb, stage1=True)
-    grid_origin = scal[12:15]
+        width, height, ta, tb, stage1=True, warp_cfg=warp_cfg)
+    org3 = tuple(scal[12 + c] for c in range(3))
     vs = scal[10]
     # Whole per-hit epilogue (leaf normal, Lambert shade, shadow trace)
-    # at stage-1 width: hit-only work never runs at full pixel width.
+    # at stage-1 width, component-wise ([M, 3] layouts tile at ~42x).
     t1 = jnp.where(res["hit"], res["t"], 0.0)
-    point1, nrm1 = _leaf_normal(
+    point3, nrm3 = _leaf_normal(
         dict(hit=res["hit"], t=t1, ks=res["ks"], ca=res["ca"],
              cb=res["cb"]),
         res["origins1"], res["dirs1"], leaf_flat, leaf_S,
-        axis_world, grid_origin, vs)
+        axis_world, org3, vs)
     hit1 = res["hit"]
 
     # shade() (RayTracerBVH.cpp:331-336), matching
     # models/octree_raytracer.py::lambert_shade bit for bit
     light_dir = scal[34:37]
-    base = scal[37:40]
-    amb = scal[40:43]
     l = light_dir / jnp.linalg.norm(light_dir)
-    ndotl = jnp.maximum(0.0, -(nrm1 * l[None, :]).sum(-1))
-    color1 = base[None, :] * ndotl[:, None] + amb[None, :]
-    color1 = jnp.where(hit1[:, None], color1, 0.0)
+    ndotl = jnp.maximum(
+        0.0, -(nrm3[0] * l[0] + nrm3[1] * l[1] + nrm3[2] * l[2]))
+    color3 = [jnp.where(hit1, scal[37 + c] * ndotl + scal[40 + c], 0.0)
+              for c in range(3)]
 
     stats = dict(rounds=res["rounds"], overflow=res["overflow"],
                  unresolved=res["unresolved"],
@@ -998,31 +1127,47 @@ def _exact_frame_jit(occ_sw, nb9, leaf_flat, scal, sf_bits, sf_nb9,
                  s_overflow=jnp.zeros((), jnp.int32),
                  s_unresolved=jnp.zeros((), jnp.int32))
     if shadows:
-        shadow_o = point1 + nrm1 * (vs * 2.0)
-        o_vox = (shadow_o - grid_origin[None, :]) / vs
+        o_vox3 = tuple(
+            (point3[c] + nrm3[c] * (vs * 2.0) - org3[c]) / vs
+            for c in range(3))
         occluded, s_rounds, s_over, s_unres = _shadow_occluded(
-            sf_bits, sf_nb9, sf_lsab, o_vox, hit1, sf_meta,
+            sf_bits, sf_nb9, sf_lsab, o_vox3, hit1, sf_meta,
             ladder=_shadow_ladder_stage1(int(res["map1"]["M"]),
                                          sf_meta[5]))
-        color1 = jnp.where(occluded[:, None],
-                           jnp.broadcast_to(amb[None, :], color1.shape),
-                           color1)
+        color3 = [jnp.where(occluded, scal[40 + c], color3[c])
+                  for c in range(3)]
         stats.update(s_rounds=s_rounds, s_overflow=s_over,
                      s_unresolved=s_unres)
     N = width * height
-    zero = jnp.zeros(N, f32)
-    cr, cg, cb_ = _merge1_to_n(
-        res["map1"], [color1[:, 0], color1[:, 1], color1[:, 2]],
-        [zero, zero, zero])
-    color = jnp.stack([cr, cg, cb_], axis=1)
+    # ROW-SCATTER the stage-1 colors to their pixels (each stage-1 row
+    # carries its pixel id) instead of a full-width [N, 3] rank-gather
+    # merge: the scatter moves M1 rows, the merge gathered N rows.
+    # Exact f32 — miss rows scatter their zeros over the zero canvas.
+    pos = jnp.where(res["map1"]["row_valid"], res["map1"]["pix"], N)
+    colm = jnp.stack(color3, axis=1)                      # [M1, 3]
+    canvas = jnp.zeros((N, 3), f32).at[pos].set(colm, mode="drop")
     alpha = jnp.ones((N, 1), f32)
-    img = jnp.concatenate([color, alpha], axis=-1)
+    img = jnp.concatenate([canvas, alpha], axis=-1)
     return img.reshape(height, width, 4), stats
 
 
 # --------------------------------------------------------------------------
 # Public API
 # --------------------------------------------------------------------------
+
+
+def _plan_dead_warp(cfg, scal_np, width: int, height: int):
+    """Host-side Pallas config for the dead-test warp (None = fallback
+    row-gather path: non-TPU backend, odd table widths, or a pathological
+    camera per plan_warp's window bound)."""
+    if jax.default_backend() != "tpu":
+        return None
+    if cfg["IW"] > 1024 or cfg["IW"] % 128:
+        return None
+    from ray_tracing_octrees_tpu.trace.warp_kernel import plan_warp
+
+    return plan_warp(scal_np, _AXIS_SELECTORS, cfg["axis_world"],
+                     cfg["IH"], cfg["IW"], width, height)
 
 
 def trace_pixels_sweep_exact(volume, leaf_vol, grid_origin, voxel_size,
@@ -1042,7 +1187,8 @@ def trace_pixels_sweep_exact(volume, leaf_vol, grid_origin, voxel_size,
         cfg["occ_sw"], cfg["nb9"], leaf_flat, jnp.asarray(scal),
         cfg["axis_world"], cfg["flip"], cfg["S"], cfg["A"], cfg["B"],
         cfg["IH"], cfg["IW"], width, height, int(leaf_vol.shape[0]),
-        ta=cfg["ta"], tb=cfg["tb"])
+        ta=cfg["ta"], tb=cfg["tb"],
+        warp_cfg=_plan_dead_warp(cfg, scal, width, height))
 
 
 def render_exact_frame(volume, leaf_vol, grid_origin, voxel_size,
@@ -1090,4 +1236,5 @@ def render_exact_frame(volume, leaf_vol, grid_origin, voxel_size,
         sf_bits, sf_nb9, sf_lsab,
         cfg["axis_world"], cfg["flip"], cfg["S"], cfg["A"], cfg["B"],
         cfg["IH"], cfg["IW"], width, height, int(leaf_vol.shape[0]),
-        bool(shadows), sf_meta, ta=cfg["ta"], tb=cfg["tb"])
+        bool(shadows), sf_meta, ta=cfg["ta"], tb=cfg["tb"],
+        warp_cfg=_plan_dead_warp(cfg, scal, width, height))

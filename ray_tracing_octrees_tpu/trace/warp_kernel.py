@@ -58,10 +58,13 @@ def _warp_onehot_kernel(ty: int, tx: int, win: int, th: int, tw: int,
     """
     lin = lin_ref[:, :]
     invalid = lin < 0
+    # fixed 10-bit packing lin = (iu << 10) | iv — valid for ANY tw <=
+    # 1024 (iv < tw fits 10 bits); identical to iu * tw + iv when
+    # tw == 1024 (every pre-existing caller)
     iu = jnp.where(invalid, th - 1, lin >> 10)
     # invalid pixels park on the valid minimum so they never widen the
     # active v-group range
-    iv0 = jnp.where(invalid, tw - 1, lin & (tw - 1))
+    iv0 = jnp.where(invalid, tw - 1, lin & 1023)
     iv = jnp.where(invalid, jnp.min(iv0), iv0)
     umin = (jnp.clip(jnp.min(iu), 0, th - win) >> 3) << 3
     umin = pl.multiple_of(umin, 8)
@@ -153,12 +156,13 @@ def split_hi_mid_lo(table):
 
 
 def warp_lookup(t_hl, lin2d, ty: int, tx: int, win: int, n_planes: int = 2):
-    """out[y, x] = T[lin2d[y,x] >> 10, lin2d[y,x] & (TW-1)]; -1 where lin2d < 0.
+    """out[y, x] = T[lin2d[y,x] >> 10, lin2d[y,x] & 1023]; -1 where lin2d < 0.
 
     t_hl: bf16[n_planes*TH, TW] plane-split table (from :func:`split_hi_lo`
-    for 16-significand-bit values or :func:`split_hi_mid_lo` for full f32).
-    lin2d: int32[H, W], H % ty == 0 and W % tx == 0 (pad with -1).
-    Traceable (call inside jit).
+    for 16-significand-bit values, :func:`split_hi_mid_lo` for full f32,
+    or the raw bf16 table with n_planes=1 for bf16-exact values).
+    lin2d: int32[H, W] packed (iu << 10) | iv (TW <= 1024 required),
+    H % ty == 0 and W % tx == 0 (pad with -1). Traceable (call inside jit).
     """
     Hp, Wp = lin2d.shape
     th2, tw = t_hl.shape

@@ -198,9 +198,10 @@ def test_shadow_occlusion_matches_dda(scene):
                sf.aa_min, sf.aa_span, sf.ab_min, sf.ab_span,
                sf.inter_h, sf.inter_w, sf.sa, sf.sb, sf.ta, sf.tb)
     o_vox = (shadow_o - ORIGIN[None, :]) / VS
+    o_vox3 = tuple(jnp.asarray(o_vox[:, c]) for c in range(3))
     occl, rounds, over, unres = jax.jit(
         se._shadow_occluded, static_argnames=("meta",))(
-        sf.bits, sf.nb9, sf.l_sab, jnp.asarray(o_vox), jnp.asarray(hit),
+        sf.bits, sf.nb9, sf.l_sab, o_vox3, jnp.asarray(hit),
         meta=sf_meta)
     assert int(over) == 0
     assert int(unres) == 0

@@ -60,6 +60,28 @@ def test_warp_matches_gather(ty, tx, win):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_warp_narrow_table_single_plane():
+    # tw < 1024 tables with the fixed 10-bit lin packing (iu << 10 | iv)
+    # and n_planes=1 (bf16-exact +-1 values) — the sweep-exact dead-test
+    # warp configuration
+    rng = np.random.default_rng(7)
+    th, tw = 512, 768
+    t = np.where(rng.random((th, tw)) < 0.5, 1.0, -1.0).astype(np.float32)
+    ty, tx, win = CONFIG_FAST
+    H, W = ty, 2 * tx
+    yy = np.arange(H)[:, None]
+    xx = np.arange(W)[None, :]
+    iu = np.clip((yy * 0.8 + xx * 0.03 + 11).astype(np.int32), 0, th - 1)
+    iv = np.clip((xx * 2.3 + yy * 0.4 + 5).astype(np.int32), 0, tw - 1)
+    lin = ((iu << 10) | iv).astype(np.int32)
+    lin[3, :7] = -1
+    out = np.asarray(warp_lookup(
+        jnp.asarray(t, jnp.bfloat16), jnp.asarray(lin), ty, tx, win,
+        n_planes=1))
+    ref = np.where(lin < 0, -1.0, t[iu, iv])
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_warp_window_spanning_groups():
     # iv values straddling several 128-lane groups within one tile
     rng = np.random.default_rng(2)
