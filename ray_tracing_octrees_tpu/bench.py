@@ -233,7 +233,10 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         # asserts parity with trace_octree up to sub-nudge grazing
         # crossings the DDA oracle itself skips). Falls back to the
         # gather-DDA ladder below for poses outside its envelope.
-        res = os.environ.get("RTO_BENCH_EXACT_RES", "960x540")
+        # full 1080p-class default since round 4 (the optimized sweep-
+        # exact frame runs ~90 ms there; round 3 could only afford
+        # 960x540). Override with RTO_BENCH_EXACT_RES=WxH.
+        res = os.environ.get("RTO_BENCH_EXACT_RES", "1920x1088")
         sw, sh_ = (int(x) for x in res.split("x"))
         try:
             from ray_tracing_octrees_tpu.trace.sweep_exact import (
