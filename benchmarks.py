@@ -228,9 +228,12 @@ def config4():
         hit_fraction=round(hit_frac, 4),
     )
 
-    # Exact general-mesh oracle (escape-link LBVH traversal), quarter-res
-    # with honest per-pixel primary + shadow rays.
-    Wq, Hq = 960, 540
+    # Exact general-mesh oracle (escape-link LBVH traversal) — scoped as
+    # the correctness ORACLE, not a tracer (docs/PARITY.md: per-ray tree
+    # traversal is gather-bound at a measured hardware floor two orders
+    # under the config-4 bar; mesh_grid above is the production tracer).
+    # Measured at a small frame so the oracle row costs ~20 s, not 97.
+    Wq, Hq = 480, 270
     cam = Camera(theta=0.9, phi=0.8, radius=0.75 * extent)
     cam.set_target(center)
     o, d = generate_rays(

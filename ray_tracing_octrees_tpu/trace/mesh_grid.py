@@ -722,7 +722,10 @@ def _trace_texels(case_sw, shadow_sw, scal,
         # (first round resolves ~20%, later rounds ~50%; see
         # tools/exp_mesh_fixed / LADDER_r03): each stage fits after ONE
         # round of its predecessor at the bench pose while the while-cond
-        # keeps correctness for slower-decaying poses.
+        # keeps correctness for slower-decaying poses. (A tighter
+        # 0.36-headed schedule was measured 50 ms SLOWER at 1080p — the
+        # smaller stage targets force extra rounds at WIDER widths and
+        # overflow ~2k texels; do not re-tighten without re-measuring.)
         widths, w = [], N
         for fr in (0.5, 0.38, 0.2, 0.1, 0.05, 0.025, 0.0125):
             w2 = max(128, int(N * fr))
@@ -782,30 +785,47 @@ def _trace_texels(case_sw, shadow_sw, scal,
         else:
             g[k] = jnp.where(st0["hit"], upd, g[k])
 
-    prev = dict(resolved=g["resolved"], ptr=g["ptr"], uaf=uaf, ubf=ubf,
-                bits=cand_bits, width=N)
+    # The carry per row is just (texel id, ptr): uaf/ubf rebuild from the
+    # texel id with the SAME closed forms (bit-identical), and each stage
+    # re-gathers its bit rows from the full field at ITS width — packing
+    # the C bit words + coords through every compaction cost a [N, 3+C]
+    # concat + wide row gather. Compaction itself is a stable SORT
+    # (live-first), measured 2.9 ms vs 6.7 for the iota-scatter at 1M
+    # rows (see trace/sweep_exact.py's ladder).
+    prev = dict(resolved=g["resolved"], ptr=g["ptr"],
+                tex=jnp.arange(N, dtype=i32), width=N)
     entries = []
     for si, M in enumerate(widths):
         unres = ~prev["resolved"]
         n_unres = jnp.sum(unres)
         overflow = overflow + jnp.maximum(n_unres - M, 0)
         rank = jnp.cumsum(unres.astype(i32)) - 1        # [W_prev]
-        sc = jnp.where(unres & (rank < M), rank, M)
-        packed = jnp.concatenate(
-            [as_i32(prev["uaf"])[:, None], as_i32(prev["ubf"])[:, None],
-             prev["ptr"][:, None], prev["bits"]], axis=1)
-        idxs = jnp.zeros(M, i32).at[sc].set(
-            jnp.arange(prev["width"], dtype=i32), mode="drop")
-        rows = packed[idxs]                             # row-major gather
-        uaf_s, ubf_s = as_f32(rows[:, 0]), as_f32(rows[:, 1])
-        ptr_s, bits_s = rows[:, 2], rows[:, 3:]
+        _, idxs = jax.lax.sort(
+            (jnp.where(unres, 0, 1).astype(i32),
+             jnp.arange(prev["width"], dtype=i32)),
+            num_keys=1, is_stable=True)
+        idxs = idxs[:M] if M <= prev["width"] else jnp.pad(
+            idxs, (0, M - prev["width"]))
+        if si == 0:
+            tex_s = idxs
+            ptr_s = prev["ptr"][idxs]
+        else:
+            packed = jnp.concatenate(
+                [prev["tex"][:, None], prev["ptr"][:, None]], axis=1)
+            rows = packed[idxs]
+            tex_s, ptr_s = rows[:, 0], rows[:, 1]
+        bits_s = cand_bits[tex_s]
+        ti_s = (tex_s // inter_w).astype(f32)
+        tj_s = (tex_s % inter_w).astype(f32)
+        uaf_s = a_min + (a_max - a_min) * (ti_s + 0.5) / inter_h
+        ubf_s = b_min + (b_max - b_min) * (tj_s + 0.5) / inter_w
         row_valid = jnp.arange(M) < jnp.minimum(n_unres, M)
         st_l = run_stage((rounds_t, hist), M, targets[si + 1],
                          geo_of(uaf_s, ubf_s), bits_s, ptr_s, ~row_valid)
         rounds_t, hist = st_l["rounds_t"], st_l["hist"]
         entries.append(dict(unres=unres, rank=rank, M=M, st=st_l))
         prev = dict(resolved=st_l["resolved"], ptr=st_l["ptr"],
-                    uaf=uaf_s, ubf=ubf_s, bits=bits_s, width=M)
+                    tex=tex_s, width=M)
 
     def merge_back(dst, unres_in, rank_in, src, m_src):
         """Fold src (width m_src) into the wider dst it was compacted

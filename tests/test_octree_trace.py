@@ -438,23 +438,40 @@ def test_seeded_trace_matches_plain(rng, pose):
 
 
 def test_model_exact_render_equals_plain_image():
-    """OctreeRayTracer.render(fast=False) — with its leaf volume, ladder
-    and seeds active — equals the plain pyramid render_octree_image."""
+    """OctreeRayTracer.render(fast=False) equals the plain pyramid
+    render_octree_image: bitwise-class on the pinned DDA path, and up to
+    the documented grazing-crossing pixels on the default (sweep-exact)
+    routing (trace/sweep_exact.py resolves sub-nudge crossings the
+    nudged DDA oracle itself skips)."""
+    import dataclasses as _dc
+
+    from ray_tracing_octrees_tpu.config import EngineConfig
+
     grid = make_sphere_grid(32)
-    tracer = OctreeRayTracer()
-    tracer.set_octree(grid)
     cam = Camera(theta=0.3, phi=0.7, radius=2.0)
-    img = np.asarray(tracer.render(cam, 64, 64, aspect=1.0, shadows=True))
     ref = np.asarray(render_octree_image(
         build_pyramid(grid.occ), grid.origin, grid.voxel_size,
         jnp.asarray(cam.get_pos(), jnp.float32),
         jnp.asarray(cam.get_view(), jnp.float32),
         64, 64, jnp.float32(45.0), jnp.float32(1.0), shadows=True))
+
+    cfg = EngineConfig()
+    cfg_dda = _dc.replace(
+        cfg, raytrace=_dc.replace(cfg.raytrace, use_sweep_exact=False))
+    tracer = OctreeRayTracer(config=cfg_dda)
+    tracer.set_octree(grid)
+    img = np.asarray(tracer.render(cam, 64, 64, aspect=1.0, shadows=True))
     # identical hits; colors to 1 ulp (FMA/fusion differs between the two
     # compiled programs, so exact bitwise equality is not guaranteed)
     np.testing.assert_array_equal(
         img[..., :3].max(-1) > 0, ref[..., :3].max(-1) > 0)
     np.testing.assert_allclose(img, ref, atol=1e-6)
+
+    tracer2 = OctreeRayTracer(config=cfg)   # default: sweep-exact routing
+    tracer2.set_octree(grid)
+    img2 = np.asarray(tracer2.render(cam, 64, 64, aspect=1.0, shadows=True))
+    diff = np.abs(img2 - ref).max(axis=-1)
+    assert (diff > 1e-4).sum() <= 3, int((diff > 1e-4).sum())
 
 
 def test_shadow_prune_volume_conservative(rng):

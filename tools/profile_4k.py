@@ -146,22 +146,30 @@ def main():
         t_hl = jax.block_until_ready(split_hi_lo(packed.reshape(ih, iw)))
         kscal = jax.block_until_ready(frame_scalars_kernel(scal, axis_world))
         ty, tx, win = cfg
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=("TY", "TX", "WIN", "ax"))
+        def _warp_stage(thl, ks, TY, TX, WIN, ax):
+            return unpack_frame_rgb(
+                warp_frame(thl, ks, TY, TX, WIN, ax, W, H, True), W, H)
+
         warp_fns.append(
             lambda r, thl=t_hl, ks=kscal, TY=ty, TX=tx, WIN=win,
-            ax=axis_world:
-            unpack_frame_rgb(warp_frame(thl, ks.at[0].add(np.float32(1e-5) * r),
-                                        TY, TX, WIN, ax, W, H, True),
-                             W, H))
+            ax=axis_world, f=_warp_stage:
+            f(thl, ks.at[0].add(np.float32(1e-5) * r), TY=TY, TX=TX,
+              WIN=WIN, ax=ax))
     if warp_fns:
         pipelined("warp_frame+unpack (Pallas)", warp_fns)
 
-    # full fused frame per pose (the bench path)
+    # full fused frame per pose (the bench path); rep index perturbs phi
     frame_fns = []
     for cam in poses:
-        frame_fns.append(
-            lambda c=cam: ss.render_fast_frame(
+        def _fr(r, c=cam):
+            c.phi += 1e-5
+            return ss.render_fast_frame(
                 vol, sv, g.origin, g.voxel_size, c.get_pos(), c.get_view(),
-                45.0, W / H, W, H, light_dir=light))
+                45.0, W / H, W, H, light_dir=light)
+        frame_fns.append(_fr)
     d_frame = pipelined("FULL fused frame", frame_fns)
     print(f"=> {W}x{H}: frame {d_frame:.1f} ms, "
           f"{W * H * 2 / d_frame / 1e3:.1f} Mrays/s", flush=True)
