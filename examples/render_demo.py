@@ -60,6 +60,19 @@ def main(outdir: str = "examples/frames") -> None:
     write_png(os.path.join(outdir, "volume_raycast.png"), out["color"])
     print("wrote volume_raycast.png")
 
+    # close-up pose with the full shading stack engaged. NOTE the bright
+    # wash is FAITHFUL: the per-ray oracle (raycastFS.glsl port) renders
+    # the same poses at mean RGB ~0.78-0.83 (its gamma + tone map
+    # saturate the lit city); the sweep matches the oracle, which is the
+    # parity contract (tests/test_raymarch_sweep.py)
+    app.camera.radius *= 0.35
+    app.camera.theta = 0.45
+    app._cached_frames.clear()
+    out = app.frame(W, H)
+    write_png(os.path.join(outdir, "volume_raycast_closeup.png"),
+              out["color"])
+    print("wrote volume_raycast_closeup.png")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "examples/frames")
