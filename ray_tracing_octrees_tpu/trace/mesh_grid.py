@@ -286,6 +286,34 @@ def _build_packed_cases4(case_sw: jax.Array) -> jax.Array:
 _MT_EPS = 1e-7
 
 
+def exact_tap_words(sl, ma, mb, wide: bool):
+    """Bit-exact weighted tap words det[c, h, w] = sum occ * wa * wb.
+
+    ``wide`` (5-tap axes, weights to 4096): the a-contraction's partial
+    sums reach 4681 — beyond bf16's 8-bit mantissa — and an einsum whose
+    OTHER operand is bf16 silently demotes an f32 operand back to bf16
+    (measured: hb 4105 -> 4096 inside the round-3 "exact_acc" path, the
+    root cause of a ~0.1% candidate-field leak on Calgary that round-5
+    found via the fast-exact frame's parity ensemble). The exact form
+    splits the tap weights into two chains whose sums stay < 256
+    (bf16-exact integers), contracts each in bf16, and recombines in
+    f32: det = detL + 512 * detH — every partial value exact.
+    """
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    if not wide:
+        hb = jnp.einsum("cab,cha->cbh", sl, ma, preferred_element_type=bf16)
+        return jnp.einsum("cbh,cwb->chw", hb, mb, preferred_element_type=f32)
+    ma_f = ma.astype(f32)
+    ma_lo = jnp.where(ma_f < 512.0, ma, 0).astype(bf16)
+    ma_hi = jnp.where(ma_f >= 512.0, ma_f * (1.0 / 512.0), 0).astype(bf16)
+    hbL = jnp.einsum("cab,cha->cbh", sl, ma_lo, preferred_element_type=bf16)
+    hbH = jnp.einsum("cab,cha->cbh", sl, ma_hi, preferred_element_type=bf16)
+    detL = jnp.einsum("cbh,cwb->chw", hbL, mb, preferred_element_type=f32)
+    detH = jnp.einsum("cbh,cwb->chw", hbH, mb, preferred_element_type=f32)
+    return detL + 512.0 * detH
+
+
 def _sweep_candidates(detect_sw, hats, n_chunks: int,
                       s_valid: int, a_size: int, b_size: int,
                       inter_h: int, inter_w: int, flip: bool,
@@ -331,11 +359,7 @@ def _sweep_candidates(detect_sw, hats, n_chunks: int,
         sl = jax.lax.dynamic_slice_in_dim(detect_sw, ci * CH, CH, 0)
         amc = jax.lax.dynamic_slice_in_dim(am_f, ci * CH, CH, 0)
         bmc = jax.lax.dynamic_slice_in_dim(bm_f, ci * CH, CH, 0)
-        # exact_acc: wide-tap masks (trace/sweep_exact.py 5-tap axes)
-        # carry partial sums past bf16's mantissa; accumulate f32 then.
-        hb = jnp.einsum("cab,cha->cbh", sl, ma,
-                        preferred_element_type=f32 if exact_acc else bf16)
-        det = jnp.einsum("cbh,cwb->chw", hb, mb, preferred_element_type=f32)
+        det = exact_tap_words(sl, ma, mb, exact_acc)
 
         # 9-bit neighborhood mask AND the exact separable footprint mask
         fm = (amc[:, :, None] * bmc[:, None, :]).astype(jnp.int32)

@@ -387,7 +387,7 @@ def _consume_ladder(bits_src, texrow, ptr0, dead0, ro3, rd3, nb9,
                     s_valid: int, a_size: int, b_size: int, flip: bool,
                     widths, round_caps, const_origin: bool,
                     ta: int = 3, tb: int = 3, want_stage1: bool = False,
-                    stage0_geom=None):
+                    stage0_geom=None, stage0_gather_ptr: bool = False):
     """Run consume rounds on a gather-only compaction ladder.
 
     ``bits_src`` is the [T, C] per-TEXEL candidate bit field and
@@ -480,7 +480,11 @@ def _consume_ladder(bits_src, texrow, ptr0, dead0, ro3, rd3, nb9,
             # at stage-1 width instead of packed/gathered at full width
             # (the [N, 5] concat + row gather cost ~5 ms at 1080p)
             ro3_s, rd3_s, texrow_s = stage0_geom(idxs)
-            ptr_s = jnp.zeros(M, i32)
+            # primary rays start at ptr 0 (no gather); callers whose rows
+            # carry a data-dependent start slab (the fast-exact fallback:
+            # ptr = cube end) opt into one M-wide column gather instead
+            ptr_s = (prev["ptr"][idxs] if stage0_gather_ptr
+                     else jnp.zeros(M, i32))
             bits_s = bits_src[texrow_s]
         else:
             cols = [prev["ptr"][:, None], prev["texrow"][:, None]]

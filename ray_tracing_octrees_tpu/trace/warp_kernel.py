@@ -189,6 +189,101 @@ def warp_lookup(t_hl, lin2d, ty: int, tx: int, win: int, n_planes: int = 2):
     )(t_hl, lin2d)
 
 
+def _warp_multi_kernel(ty: int, tx: int, win: int, th: int, tw: int,
+                       splits, t_ref, lin_ref, *refs):
+    """Grouped one-hot contraction for SEVERAL logical planes sharing one
+    (iu, iv) field: the one-hot matrix is built once per v-group and
+    contracted against every logical plane's split sub-planes (the
+    fast-exact frame's three packed cube planes). ``splits[i]`` bf16
+    sub-planes stack per logical plane i; outputs sum each logical
+    plane's sub-planes (the exact split_hi_lo / split_hi_mid_lo
+    reconstruction)."""
+    n_log = len(splits)
+    o_refs = refs[:n_log]
+    scrs = refs[n_log:]
+    offs = np.cumsum([0] + list(splits))
+    lin = lin_ref[:, :]
+    invalid = lin < 0
+    iu = jnp.where(invalid, th - 1, lin >> 10)
+    iv0 = jnp.where(invalid, tw - 1, lin & 1023)
+    iv = jnp.where(invalid, jnp.min(iv0), iv0)
+    umin = (jnp.clip(jnp.min(iu), 0, th - win) >> 3) << 3
+    umin = pl.multiple_of(umin, 8)
+    rel_u = jnp.clip(iu - umin, 0, win - 1)
+
+    gmin = jnp.min(iv) >> 7
+    gmax = jnp.max(iv) >> 7
+    P = ty * tx
+    civ0 = jax.lax.broadcasted_iota(jnp.int32, (ty, tx, 128), 2)
+
+    for g in range(tw // 128):
+        def body(first, g=g):
+            Vg = ((civ0 + g * 128) == iv[:, :, None]).astype(
+                jnp.bfloat16).reshape(P, 128)
+            for i in range(n_log):
+                d = None
+                for q in range(splits[i]):
+                    tp_ = t_ref[pl.ds((int(offs[i]) + q) * th + umin, win),
+                                g * 128:(g + 1) * 128]
+                    dp = jax.lax.dot_general(
+                        Vg, tp_, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    d = dp if d is None else d + dp
+                if first:
+                    scrs[i][:, :] = d
+                else:
+                    scrs[i][:, :] += d
+
+        @pl.when(g == gmin)
+        def _():
+            body(True)
+
+        @pl.when((g > gmin) & (g <= gmax))
+        def _():
+            body(False)
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ty, tx, win), 2)
+    mask = (riota == rel_u[:, :, None]).astype(jnp.float32)
+    for i in range(n_log):
+        A3 = scrs[i][:, :].reshape(ty, tx, win)
+        val = (A3 * mask).sum(axis=2)
+        o_refs[i][:, :] = jnp.where(invalid, -1.0 if i == 0 else 0.0, val)
+
+
+def warp_lookup_multi(t_stack, splits, lin2d, ty: int, tx: int, win: int):
+    """Multi-plane exact lookup: ``t_stack`` bf16[sum(splits)*TH, TW]
+    stacks each logical plane's split sub-planes; returns one f32[Hp, Wp]
+    per logical plane (sub-planes summed — exact reconstruction).
+    Plane 0 returns -1.0 at lin2d < 0 (the legacy miss sentinel); other
+    planes return 0.0 there."""
+    Hp, Wp = lin2d.shape
+    th2, tw = t_stack.shape
+    th = th2 // int(sum(splits))
+    if Hp % ty or Wp % tx:
+        raise ValueError(
+            f"padded image {Hp}x{Wp} not divisible by tile ({ty},{tx})")
+    n_log = len(splits)
+    return pl.pallas_call(
+        functools.partial(_warp_multi_kernel, ty, tx, win, th, tw,
+                          tuple(splits)),
+        grid=(Hp // ty, Wp // tx),
+        in_specs=[
+            pl.BlockSpec((th2, tw), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, tx), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((ty, tx), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * n_log,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), jnp.float32)] * n_log,
+        scratch_shapes=[pltpu.VMEM((ty * tx, win), jnp.float32)] * n_log,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=jax.default_backend() != "tpu",
+    )(t_stack, lin2d)
+
+
 # --------------------------------------------------------------------------
 # Fused frame kernel: ray gen + one-hot lookup + Lambert shade, one kernel
 # --------------------------------------------------------------------------
