@@ -269,6 +269,31 @@ def _pixel_cube_resolve(pv0, pv1, pv2, scal, axis_world: int, flip: bool,
     ca_h = jnp.zeros(N, i32)
     cb_h = jnp.zeros(N, i32)
     sh_h = jnp.zeros(N, jnp.bool_)
+
+    # hoisted per-axis reciprocals: every cell interval is then one
+    # multiply-add (the naive per-cell _axis_interval form ran ~50
+    # divides/pixel — measured 8.6 ms at 1080p)
+    def axis_prep(ro, rd):
+        deg = jnp.abs(rd) < se._DEG
+        inv = 1.0 / jnp.where(deg, 1.0, rd)
+        neg = inv < 0
+        return ro, inv, deg, neg
+
+    def axis_iv(prep, lo):
+        """(tin, tout) of [lo, lo+1); degenerate axes by position."""
+        ro, inv, deg, neg = prep
+        t0 = (lo - ro) * inv
+        tin = jnp.where(neg, t0 + inv, t0)
+        tout = jnp.where(neg, t0, t0 + inv)
+        inside = (ro >= lo) & (ro < lo + 1.0)
+        tin = jnp.where(deg, jnp.where(inside, -se._BIG, se._BIG), tin)
+        tout = jnp.where(deg, jnp.where(inside, se._BIG, -se._BIG), tout)
+        return tin, tout
+
+    prep_s = axis_prep(ro3[0], rd3[0])
+    prep_a = axis_prep(ro3[1], rd3[1])
+    prep_b = axis_prep(ro3[2], rd3[2])
+
     for j in range(3):
         oj = o1 + f32(j)
         k = (f32(S) - 1.0 - oj) if flip else oj
@@ -278,12 +303,9 @@ def _pixel_cube_resolve(pv0, pv1, pv2, scal, axis_world: int, flip: bool,
         pb0 = eye_b + (ub0 - eye_b) * inv_s
         ca0 = jnp.floor(pa0)
         cb0 = jnp.floor(pb0)
-        ts0, ts1 = se._axis_interval(ro3[0], rd3[0], k, k + 1.0)
-        # per-axis candidate intervals (shared across the tap grid)
-        tia = [se._axis_interval(ro3[1], rd3[1], ca0 + (ia - ra),
-                                 ca0 + (ia - ra) + 1.0) for ia in range(ta)]
-        tib = [se._axis_interval(ro3[2], rd3[2], cb0 + (ib - rb),
-                                 cb0 + (ib - rb) + 1.0) for ib in range(tb)]
+        ts0, ts1 = axis_iv(prep_s, k)
+        tia = [axis_iv(prep_a, ca0 + (ia - ra)) for ia in range(ta)]
+        tib = [axis_iv(prep_b, cb0 + (ib - rb)) for ib in range(tb)]
         best = jnp.full(N, se._BIG)
         bca = jnp.zeros(N, f32)
         bcb = jnp.zeros(N, f32)
@@ -334,8 +356,13 @@ def _fallback_ladder(n: int, sp: int):
 def _run_fallback(res, words, nb9, scal, axis_world: int, flip: bool,
                   S: int, A: int, B: int, IH: int, IW: int,
                   width: int, height: int, ta: int, tb: int):
-    """Exact consume for suspicious rows; returns (state1, map1) at
-    stage-1 width (sweep_exact._consume_ladder want_stage1 layout)."""
+    """Exact consume for suspicious rows; returns (state1, map1, rounds,
+    overflow) at stage-1 width (sweep_exact._consume_ladder layout).
+
+    (A 16-px-block pre-compaction was tried against the full-width sort:
+    silhouette suspicion does NOT cluster — 1-2 suspicious px per block —
+    so expansion cost ~10x the width and dropped rows; the fused-key
+    full-width sort inside _consume_ladder is the measured floor.)"""
     i32 = jnp.int32
     f32 = jnp.float32
     N = width * height
@@ -551,11 +578,16 @@ def _fast_exact_frame_jit(occ_sw, shadow_native, nb9, scal, n_chunks, S, A,
 
 
 def fast_exact_setup(volume, grid_origin, voxel_size, camera_pos, view,
-                     max_inter: int = 1024):
+                     max_inter: int = 1024, density: float = 3.5):
     """Host gate + config: sweep_exact_setup's envelope (exterior eye,
-    footprint within the tap window), plus the Pallas warp plan."""
+    footprint within the tap window), plus the Pallas warp plan.
+
+    density 3.5 texels/voxel (vs the bilinear sweep's 6): exactness is
+    lattice-independent and the cube absorbs the wider footprints; the
+    b-contraction, warp table, and VPU carry costs are all linear in
+    lattice area (Calgary bench: IW 768 -> 384 halves the sweep)."""
     ok, cfg = se.sweep_exact_setup(volume, grid_origin, voxel_size,
-                                   camera_pos, view, max_inter)
+                                   camera_pos, view, max_inter, density)
     return ok, cfg
 
 

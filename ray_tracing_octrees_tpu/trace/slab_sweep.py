@@ -284,20 +284,23 @@ def _plan_warp_cfg(scal_np, axis_world: int, inter_h: int, inter_w: int,
                      inter_h, inter_w, width, height)
 
 
-def _auto_inter(window, max_dim: int = 1024) -> Tuple[int, int]:
+def _auto_inter(window, max_dim: int = 1024,
+                density: float = 6.0) -> Tuple[int, int]:
     """Table resolution fitted to the projected volume extent (host-side).
 
     The sweep table historically used a fixed 1024x1024, but scenes are
     often thin along one lateral axis (Calgary: B = 29 voxels of building
     height vs A = 425): a 1024-texel axis there is ~35x oversampled and
-    the b-contraction's cost is linear in table width. 6+ texels per
-    voxel keeps in-slab bilinear hit resolution well under the 1-voxel
-    slab quantization that already bounds the sweep's accuracy.
+    the b-contraction's cost is linear in table width. ``density`` texels
+    per voxel (default 6) keeps in-slab bilinear hit resolution well
+    under the 1-voxel slab quantization that already bounds the sweep's
+    accuracy; exact consumers (sweep_exact / fast_exact) may run coarser
+    — their answers are lattice-independent.
     """
     a_min, a_max, b_min, b_max = window
 
     def dim(span: float) -> int:
-        t = int(math.ceil(6.0 * max(span, 1.0) / 128.0)) * 128
+        t = int(math.ceil(density * max(span, 1.0) / 128.0)) * 128
         return max(256, min(max_dim, t))
 
     return dim(a_max - a_min), dim(b_max - b_min)

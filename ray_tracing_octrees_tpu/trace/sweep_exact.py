@@ -467,11 +467,18 @@ def _consume_ladder(bits_src, texrow, ptr0, dead0, ro3, rd3, nb9,
         # stable-sort compaction: live rows first in original order
         # (measured 5.7 ms vs 13.4 for the iota-scatter form at 2.09M
         # rows). Slots past n_unres hold arbitrary dead rows — exactly
-        # the region row_valid masks off below.
-        _, idxs = jax.lax.sort(
-            (jnp.where(unres, 0, 1).astype(i32),
-             jnp.arange(prev["width"], dtype=i32)),
-            num_keys=1, is_stable=True)
+        # the region row_valid masks off below. When the width fits 27
+        # bits the live flag and the index fuse into ONE u32 key (a
+        # single-operand sort moves half the bytes of key+payload).
+        pw = prev["width"]
+        if pw <= (1 << 27):
+            fused = jnp.where(unres, 0, 1 << 27) | jnp.arange(pw, dtype=i32)
+            idxs = jax.lax.sort(fused) & ((1 << 27) - 1)
+        else:
+            _, idxs = jax.lax.sort(
+                (jnp.where(unres, 0, 1).astype(i32),
+                 jnp.arange(pw, dtype=i32)),
+                num_keys=1, is_stable=True)
         idxs = idxs[:M] if M <= prev["width"] else jnp.pad(
             idxs, (0, M - prev["width"]))
         if si == 0 and stage0_geom is not None:
@@ -703,12 +710,19 @@ def build_shadow_field(volume, light_dir, voxel_size,
 
 
 def sweep_exact_setup(volume, grid_origin, voxel_size, camera_pos, view,
-                      max_inter: int = 1024):
+                      max_inter: int = 1024, density: float = 6.0):
     """Host-side gate + configuration for the sweep-exact PRIMARY trace.
 
     Returns (ok, cfg): ok=False when the pose leaves the exactness
     envelope (interior eye, or footprint+pad exceeding the 3-tap
     window); cfg carries everything the jitted frame needs.
+
+    ``density``: lattice texels per voxel. Exactness is lattice-
+    independent (the superset invariant only widens candidate sets —
+    tests/test_sweep_exact.py::test_coarse_lattice_stays_exact); density
+    trades detection-sweep cost against consume-round count. The
+    fast-exact frame runs at ~3.5 (its cube absorbs the wider
+    footprints); this tracer's ladder was tuned at 6.
     """
     axis_world, flip, (S, A, B), eyes, window, crop_lo = _sweep_geometry(
         volume, grid_origin, voxel_size, camera_pos, view)
@@ -725,7 +739,7 @@ def sweep_exact_setup(volume, grid_origin, voxel_size, camera_pos, view,
     a_min, a_max = a_min - 1.0, a_max + 1.0
     b_min, b_max = b_min - 1.0, b_max + 1.0
     window = (a_min, a_max, b_min, b_max)
-    IH, IW = _auto_inter(window, max_inter)
+    IH, IW = _auto_inter(window, max_inter, density)
     dz = abs(z0 - eye_s)
     # max |1/s_scale| over slabs (inv_s is monotone in k; check ends)
     inv_ends = [abs((k + 0.5 - eye_s) / (z0 - eye_s)) for k in (0, S - 1)]
