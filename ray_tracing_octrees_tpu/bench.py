@@ -248,45 +248,87 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
         # 960x540). Override with RTO_BENCH_EXACT_RES=WxH.
         res = os.environ.get("RTO_BENCH_EXACT_RES", "1920x1088")
         sw, sh_ = (int(x) for x in res.split("x"))
+        vs_f = float(np.asarray(host_fetch(grid.voxel_size)))
+        org_np = np.asarray(host_fetch(grid.origin))
+        # Preferred path since round 5: the FAST-EXACT cube frame
+        # (trace/fast_exact.py) — trace_octree's exact hit/t + exact
+        # shadow-volume term at sweep rates (137 Mrays/s on chip vs
+        # sweep-exact's 46); normals at voxel granularity (the app's
+        # OCTREE_RAYTRACE keeps sweep_exact's leaf-node normals when
+        # configured). Falls back to sweep-exact, then the DDA ladder.
         try:
-            from ray_tracing_octrees_tpu.trace.sweep_exact import (
-                build_shadow_field,
-                render_exact_frame,
+            from ray_tracing_octrees_tpu.trace.fast_exact import (
+                render_fast_exact_frame,
             )
 
-            vs_f = float(np.asarray(host_fetch(grid.voxel_size)))
-            org_np = np.asarray(host_fetch(grid.origin))
-            sfld = build_shadow_field(vol, light_dir, vs_f)
+            def f_cube():
+                return render_fast_exact_frame(
+                    vol, shadow, org_np, vs_f, cam.get_pos(),
+                    cam.get_view(), 45.0, aspect, sw, sh_,
+                    light_dir=light_dir)
 
-            def f_sweep():
-                return render_exact_frame(
-                    vol, lv, org_np, vs_f, cam.get_pos(), cam.get_view(),
-                    sw, sh_, 45.0, aspect, light_dir=light_dir,
-                    shadows=True, shadow_field=sfld)
-
-            out = f_sweep()
-            if out is None or sfld is None:
-                exact_skip_reason = (
-                    "sweep-exact outside envelope "
-                    f"(frame={'ok' if out is not None else 'None'}, "
-                    f"shadow_field={'ok' if sfld is not None else 'None'})")
+            out = f_cube()
+            if out is None:
+                exact_skip_reason = "fast-exact outside envelope"
             else:
                 jax.block_until_ready(out)
-                ex_iters = 4
+                ex_iters = 8
                 t0 = time.perf_counter()
                 for _ in range(ex_iters):
                     cam.phi += 1e-4
-                    out = f_sweep()
+                    out = f_cube()
                 jax.block_until_ready(out)
                 cam.phi -= 1e-4 * ex_iters
                 exact_mrays = round(
                     sw * sh_ * 2 * ex_iters
                     / (time.perf_counter() - t0) / 1e6, 3)
-                exact_path = "sweep"
-                _log(f"exact(sweep) {exact_mrays} Mrays/s")
+                exact_path = "fast_exact"
+                _log(f"exact(cube) {exact_mrays} Mrays/s")
         except Exception as e:
-            exact_skip_reason = f"sweep-exact failed: {e!r}"
+            exact_skip_reason = f"fast-exact failed: {e!r}"
             _log(exact_skip_reason)
+
+        if exact_path is None and not _exact_over_budget("sweep-exact"):
+            try:
+                from ray_tracing_octrees_tpu.trace.sweep_exact import (
+                    build_shadow_field,
+                    render_exact_frame,
+                )
+
+                sfld = build_shadow_field(vol, light_dir, vs_f)
+
+                def f_sweep():
+                    return render_exact_frame(
+                        vol, lv, org_np, vs_f, cam.get_pos(), cam.get_view(),
+                        sw, sh_, 45.0, aspect, light_dir=light_dir,
+                        shadows=True, shadow_field=sfld)
+
+                out = f_sweep()
+                if out is None or sfld is None:
+                    exact_skip_reason = (
+                        (exact_skip_reason + "; " if exact_skip_reason else "")
+                        + "sweep-exact outside envelope "
+                        f"(frame={'ok' if out is not None else 'None'}, "
+                        f"shadow_field={'ok' if sfld is not None else 'None'})")
+                else:
+                    jax.block_until_ready(out)
+                    ex_iters = 4
+                    t0 = time.perf_counter()
+                    for _ in range(ex_iters):
+                        cam.phi += 1e-4
+                        out = f_sweep()
+                    jax.block_until_ready(out)
+                    cam.phi -= 1e-4 * ex_iters
+                    exact_mrays = round(
+                        sw * sh_ * 2 * ex_iters
+                        / (time.perf_counter() - t0) / 1e6, 3)
+                    exact_path = "sweep"
+                    _log(f"exact(sweep) {exact_mrays} Mrays/s")
+            except Exception as e:
+                exact_skip_reason = (
+                    (exact_skip_reason + "; " if exact_skip_reason else "")
+                    + f"sweep-exact failed: {e!r}")
+                _log(exact_skip_reason)
 
         if exact_path is not None:
             raise StopIteration   # caught below; result already recorded
@@ -365,6 +407,94 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
     if exact_mrays is not None:
         exact_skip_reason = None
 
+    # ---- multi-pose parity ensemble (VERDICT r4 task 2) -----------------
+    # Bounds the HEADLINE fast sweep's accuracy over >= 16 poses spanning
+    # grazing, zoom and orbit extremes — not just the bench pose. The
+    # reference per pose is the fast-exact cube tracer when the pose is
+    # inside its envelope (oracle-verified against trace_octree,
+    # tests/test_fast_exact.py) and the gather-DDA trace_octree otherwise.
+    # Worst case is recorded; the bench pose's single-pose figure above is
+    # kept for round-over-round continuity.
+    parity_ensemble = None
+    t_par0 = time.time()
+    par_budget = float(os.environ.get("RTO_BENCH_PARITY_BUDGET_S", "420"))
+    try:
+        from ray_tracing_octrees_tpu.core.octree import build_pyramid as _bp
+        from ray_tracing_octrees_tpu.render.camera import (
+            Camera,
+            generate_rays,
+        )
+        from ray_tracing_octrees_tpu.trace.fast_exact import (
+            fast_exact_first_hit,
+        )
+        from ray_tracing_octrees_tpu.trace.octree_trace import trace_octree
+        from ray_tracing_octrees_tpu.trace.slab_sweep import sweep_first_hit
+
+        pw, ph = 240, 136
+        extent = float(np.max(np.asarray(grid.world_max)
+                              - np.asarray(grid.world_min)))
+        tgt = np.asarray(building_center(grid))
+        n_poses = int(os.environ.get("RTO_BENCH_PARITY_POSES", "16"))
+        # deterministic golden-angle orbit over (theta, phi, radius)
+        poses = [(0.9 + 2.39996 * i, 0.2 + 1.2 * ((i * 5) % 8) / 7.0,
+                  (0.35, 0.75, 1.1, 1.6)[i % 4]) for i in range(n_poses)]
+        pyr_par = _bp(grid.occ)
+
+        @jax.jit
+        def _pstats(hf, tf, rh, rt_):
+            mism = (hf != rh).mean(dtype=jnp.float32)
+            both = hf & rh
+            nb = both.sum()
+            se_ = jnp.where(both, (tf - rt_) ** 2, 0.0).sum()
+            rms = jnp.sqrt(se_ / jnp.maximum(nb, 1))
+            return mism, rms
+
+        vs_p = float(np.asarray(host_fetch(grid.voxel_size)))
+        rows = []
+        for (th, phi_, rf) in poses:
+            if time.time() - t_par0 > par_budget:
+                break
+            cam2 = Camera(theta=th, phi=phi_, radius=rf * extent)
+            cam2.set_target(tgt)
+            hit_f, t_f, _, _ = sweep_first_hit(
+                vol, grid.origin, grid.voxel_size, cam2.get_pos(),
+                cam2.get_view(), 45.0, aspect, pw, ph)
+            ref_kind = "fast_exact"
+            refo = fast_exact_first_hit(
+                vol, grid.origin, grid.voxel_size, cam2.get_pos(),
+                cam2.get_view(), 45.0, aspect, pw, ph)
+            if refo is not None:
+                rh, rt_ = refo[0], refo[1]
+            else:
+                ref_kind = "dda"
+                o2, d2 = generate_rays(
+                    pw, ph, jnp.asarray(cam2.get_pos(), jnp.float32),
+                    jnp.asarray(cam2.get_view(), jnp.float32), 45.0,
+                    aspect)
+                r2 = trace_octree(pyr_par, o2, d2, grid.origin,
+                                  grid.voxel_size)
+                rh, rt_ = r2["hit"], r2["t"]
+            mism, rms = (float(np.asarray(v)) for v in
+                         jax.block_until_ready(_pstats(hit_f, t_f, rh, rt_)))
+            rows.append(dict(theta=round(th, 3), phi=round(phi_, 3),
+                             radius_f=rf, ref=ref_kind,
+                             mismatch=round(mism, 5),
+                             rms_vox=round(rms / vs_p, 4)))
+        if rows:
+            worst = max(rows, key=lambda r: r["mismatch"])
+            parity_ensemble = dict(
+                n_poses=len(rows), resolution=f"{pw}x{ph}",
+                worst_pose=worst,
+                median_mismatch=round(float(np.median(
+                    [r["mismatch"] for r in rows])), 5),
+                max_rms_vox=round(max(r["rms_vox"] for r in rows), 4),
+                poses=rows)
+            _log(f"parity ensemble: {len(rows)} poses, worst "
+                 f"{worst['mismatch']} at theta={worst['theta']}")
+    except Exception as e:
+        _log(f"parity ensemble failed: {e!r}")
+    timings["parity_ensemble_s"] = round(time.time() - t_par0, 1)
+
     return {
         "metric": "raytrace_calgary_1080p_primary+shadow",
         "value": round(mrays, 2),
@@ -380,11 +510,20 @@ def run_bench(scene: str = "", width: int = 1920, height: int = 1080,
                          "alongside for regression tracking",
         "hit_fraction": round(hit_frac, 4),
         "parity_vs_exact": parity,
+        "parity_ensemble": parity_ensemble,
         "exact_tracer_mrays": exact_mrays,
         "exact_tracer_path": exact_path,
+        "exact_tracer_note": (
+            "fast_exact: primary hit/t exact vs trace_octree "
+            "(tests/test_fast_exact.py); shadow term from the directional "
+            "shadow volume — same accounting as the headline (the "
+            "reference's shadow is an 8-step march approximation, "
+            "raycastFS.glsl:223-272); sweep_exact (per-hit shadow rays, "
+            "leaf-node normals) remains available and measured 46 Mrays/s "
+            "in round 4" if exact_path == "fast_exact" else None),
         "exact_skip_reason": exact_skip_reason,
         "timings_s": timings,
-        "scene": os.path.basename(scene) if scene else "sphere256",
+        "scene": os.path.basename(scene) if scene else f"sphere{sphere_dim}",
         "backend": jax.default_backend(),
     }
 

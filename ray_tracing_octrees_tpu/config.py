@@ -78,6 +78,16 @@ class RayTraceConfig:
     # first-hit at MXU rates; used automatically when the pose is inside
     # its exactness envelope, with the DDA ladder as the fallback
     use_sweep_exact: bool = True
+    # fast-exact cube tracer (trace/fast_exact.py): the same exact
+    # primary hit/t ~3x faster (137 vs 46 Mrays/s at 1080p on chip), but
+    # with the FAST frame's shading conventions: shadow term from the
+    # directional shadow volume (the reference's own shadow is an 8-step
+    # march approximation, raycastFS.glsl:223-272) and normals at voxel
+    # granularity (normalize(p - center), RayTracerBVH.cpp:283-287, per
+    # voxel rather than per leaf node). Off by default so the app's
+    # OCTREE_RAYTRACE keeps sweep-exact's per-hit shadow rays and
+    # leaf-node normals; turn on for interactive-rate exact visibility.
+    use_fast_exact: bool = False
     exact_ball_skip: bool = False        # Chebyshev empty-ball skipping
     # light-occludability shadow prune: pays only for elevated lights /
     # sparse scenes (Calgary + the default shallow light legitimately

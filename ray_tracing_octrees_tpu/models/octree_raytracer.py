@@ -316,6 +316,28 @@ class OctreeRayTracer:
                 self._fast_vol, self.config.raytrace.light_dir, vs),)
         return self._exact_sfld[0]
 
+    def _render_fast_exact(self, camera: Camera, width: int, height: int,
+                           aspect: float, shadows: bool):
+        """Fast-exact cube frame (trace/fast_exact.py), or None outside
+        its envelope. Exact hit/t/shadow; voxel-granularity normals (see
+        config.raytrace.use_fast_exact)."""
+        from ray_tracing_octrees_tpu.core.grid import host_fetch
+        from ray_tracing_octrees_tpu.trace.fast_exact import (
+            render_fast_exact_frame,
+        )
+
+        rt = self.config.raytrace
+        self._ensure_fast()
+        return render_fast_exact_frame(
+            self._fast_vol,
+            self._fast_shadow if shadows else None,
+            np.asarray(host_fetch(self.grid_origin)),
+            float(np.asarray(host_fetch(self.voxel_size))),
+            camera.get_pos(), camera.get_view(),
+            self.config.camera.fov_deg, aspect, width, height,
+            light_dir=rt.light_dir, base_color=rt.base_color,
+            ambient=rt.ambient)
+
     def _render_sweep_exact(self, camera: Camera, width: int, height: int,
                             aspect: float, shadows: bool):
         """Sweep-exact frame, or None outside its envelope (caller falls
@@ -418,6 +440,11 @@ class OctreeRayTracer:
         # eye, footprint beyond the tap window) fall through to the DDA
         # ladder below; so does a light outside the shadow field's slope
         # envelope when shadows are on.
+        if rt.use_fast_exact:
+            img = self._render_fast_exact(camera, width, height, aspect,
+                                          shadows)
+            if img is not None:
+                return img
         if rt.use_sweep_exact:
             img = self._render_sweep_exact(camera, width, height, aspect,
                                            shadows)
