@@ -824,10 +824,11 @@ def _trace_texels(case_sw, shadow_sw, scal,
         n_unres = jnp.sum(unres)
         overflow = overflow + jnp.maximum(n_unres - M, 0)
         rank = jnp.cumsum(unres.astype(i32)) - 1        # [W_prev]
-        _, idxs = jax.lax.sort(
-            (jnp.where(unres, 0, 1).astype(i32),
-             jnp.arange(prev["width"], dtype=i32)),
-            num_keys=1, is_stable=True)
+        # fused-key sort: the live flag and the index share one u32 key
+        # (half the byte movement of key+payload; widths are <= 2^27)
+        pw_ = prev["width"]
+        fused = jnp.where(unres, 0, 1 << 27) | jnp.arange(pw_, dtype=i32)
+        idxs = jax.lax.sort(fused) & ((1 << 27) - 1)
         idxs = idxs[:M] if M <= prev["width"] else jnp.pad(
             idxs, (0, M - prev["width"]))
         if si == 0:

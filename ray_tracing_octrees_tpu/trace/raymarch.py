@@ -306,7 +306,8 @@ def get_optimized_skip_distance(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "max_steps",
+        "width", "height", "max_steps", "full_height",
+        "segment_steps", "return_state",
         "use_frustum_culling", "enable_octree_skip", "use_mip_skip",
     ),
 )
@@ -325,11 +326,24 @@ def raymarch_volume(
     enable_octree_skip: bool = True,
     use_mip_skip: bool = True,
     max_steps: int = 800,
+    row0=0,
+    full_height: int = 0,
+    resume_state=None,
+    segment_steps: int = 0,
+    return_state: bool = False,
 ):
     """Full-frame volume raymarch (traceRay, raycastFS.glsl:511-986).
 
     Returns dict: color f32[H, W, 4], depth f32[H, W] (refined first-edge t,
     0 where none), normal f32[H, W, 3] (gradient at the refined edge).
+
+    ``row0``/``full_height``: render only the ``height`` pixel rows
+    starting at (traced) row ``row0`` of a ``full_height``-row frame —
+    pixel-identical to the corresponding rows of the full program (every
+    per-pixel term derives from the absolute pixel coordinate). The
+    remote XLA toolchain fails compiling this program's while-loop state
+    past ~256^2 rays, so :func:`raymarch_volume_banded` tiles large
+    frames over row bands of ONE compiled shape (VERDICT r4 task 6).
     """
     f32 = jnp.float32
     cam_pos = jnp.asarray(cam_pos, f32)
@@ -345,9 +359,11 @@ def raymarch_volume(
     prev_look_dir = jnp.asarray(prev_look_dir, f32)
 
     n = width * height
+    fh = full_height if full_height else height
     px = jnp.tile(jnp.arange(width, dtype=f32), height)
-    py = jnp.repeat(jnp.arange(height, dtype=f32), width)
-    coord = jnp.stack([(px + 0.5) / width, (py + 0.5) / height], -1)
+    py = (jnp.repeat(jnp.arange(height, dtype=f32), width)
+          + jnp.asarray(row0, f32))
+    coord = jnp.stack([(px + 0.5) / width, (py + 0.5) / fh], -1)
     frag_xy = jnp.stack([px, py], -1)
 
     def ray_from_coord(c):
@@ -441,9 +457,18 @@ def raymarch_volume(
         edge_normal=jnp.zeros((n, 3), f32),
         done=misses_box,
     )
+    if resume_state is not None:
+        state = resume_state
+
+    # segment cap: each dispatch runs at most ``segment_steps`` march
+    # iterations (a long-marching dispatch — 451 iterations observed at
+    # 512x64 — can kill the remote TPU worker); callers resume via
+    # resume_state until i reaches max_steps or every ray is done.
+    i_cap = (jnp.minimum(state["i"] + segment_steps, max_steps)
+             if segment_steps else max_steps)
 
     def cond(s):
-        return (s["i"] < max_steps) & jnp.any(~s["done"])
+        return (s["i"] < i_cap) & jnp.any(~s["done"])
 
     def body(s):
         i = s["i"]
@@ -672,6 +697,8 @@ def raymarch_volume(
         )
 
     s = jax.lax.while_loop(cond, body, state)
+    if return_state:
+        return s
 
     accum_alpha = s["alpha"]
     accum_color = s["color"]
@@ -714,3 +741,63 @@ def raymarch_volume(
         t_near=t_near.reshape(height, width),
         t_far=t_far.reshape(height, width),
     )
+
+
+def raymarch_volume_banded(
+    tex: VolumeTextures,
+    cam_pos,
+    inv_view,
+    inv_proj,
+    width: int,
+    height: int,
+    band_rows: int = 32,
+    **kwargs,
+):
+    """Row-banded oracle frame: pixel-identical to ``raymarch_volume`` at
+    (width, height), compiled at ONE (width, band_rows) shape and run
+    over ceil(height / band_rows) sequential bands.
+
+    Exists because the monolithic per-ray program cannot run past
+    ~256^2 rays on the remote TPU runtime (docs/ROADMAP.md r2 outcome 5)
+    while the reference ran 1300^2 (main.cpp:990). Round-5 root cause:
+    it is a per-DISPATCH duration limit, not program size — a 512x64
+    band whose worst ray marches 451 iterations reproducibly kills the
+    TPU worker ("kernel fault"), while the same rows pass at 32-row
+    bands (half the per-iteration work) or a 400-step cap. Banding
+    bounds the dispatch with zero semantic change — every per-pixel
+    quantity (rays, jitter, blue noise, dither) is a function of the
+    absolute pixel coordinate, which ``row0`` preserves (bitwise-equal
+    to the monolithic program, tests/test_raymarch.py).
+    """
+    assert height % band_rows == 0, (height, band_rows)
+    max_steps = kwargs.get("max_steps", 800)
+    seg = int(kwargs.pop("segment_steps", 100))
+    outs = []
+    for r0 in range(0, height, band_rows):
+        # march in <= seg-iteration dispatches (resume_state threading):
+        # one long dispatch can die mid-march; segments keep each under
+        # the observed limit, bitwise-identical by construction
+        st = None
+        while True:
+            st = raymarch_volume(
+                tex, cam_pos, inv_view, inv_proj, width, band_rows,
+                row0=r0, full_height=height, resume_state=st,
+                segment_steps=seg, return_state=True, **kwargs)
+            jax.block_until_ready(st["i"])
+            if int(st["i"]) >= max_steps or not bool(
+                    jnp.any(~st["done"])):
+                break
+        out = raymarch_volume(
+            tex, cam_pos, inv_view, inv_proj, width, band_rows,
+            row0=r0, full_height=height, resume_state=st, **kwargs)
+        jax.block_until_ready(out["alpha"])
+        outs.append(out)
+    import numpy as _np
+
+    res = {}
+    for k in outs[0]:
+        if k == "iters":
+            res[k] = max(int(o[k]) for o in outs)
+        else:
+            res[k] = jnp.concatenate([o[k] for o in outs], axis=0)
+    return res
