@@ -143,3 +143,52 @@ def test_interior_pose_returns_none(scene):
     out = fast_exact_first_hit(vol, ORIGIN, VS, cam.get_pos(),
                                cam.get_view(), 45.0, W / H, W, H)
     assert out is None
+
+
+def _wide_tap_setup():
+    """A scene+pose that forces the 5-tap detection envelope (ta=5) —
+    the configuration whose tap-word einsums silently corrupted under
+    the round-3 exact_acc path (bf16 demotion of f32 partial sums;
+    fixed in mesh_grid.exact_tap_words). Synthetic-scene coverage was
+    previously 3-tap only, so the leak passed CI for two rounds while
+    missing 0.086% of Calgary bench-pose pixels."""
+    rng = np.random.default_rng(7)
+    occ = np.zeros((16, 40, 160), np.uint8)          # (Z, Y, X): long x
+    occ[2:14, 4:36, 8:152] = (rng.random((12, 32, 144)) < 0.05)
+    vol = (jnp.asarray(occ) > 0).astype(jnp.float32)
+    pyr = build_pyramid(jnp.asarray(occ))
+    # high orbit over the long-x scene: sweep axis z (S=16) with lateral
+    # a = x (160) gives corner-ray slopes > 1 voxel/slab => 5 a-taps
+    cam = Camera(theta=0.3, phi=1.2, radius=100.0)
+    cam.target = np.zeros(3, np.float32)
+    return occ, vol, pyr, cam
+
+
+def test_wide_tap_envelope_is_exact():
+    from ray_tracing_octrees_tpu.trace import sweep_exact as se
+
+    occ, vol, pyr, cam = _wide_tap_setup()
+    ok, cfg = se.sweep_exact_setup(vol, ORIGIN, VS, cam.get_pos(),
+                                   cam.get_view())
+    assert ok
+    assert max(cfg["ta"], cfg["tb"]) == 5, (
+        f"pose must exercise the wide-tap envelope, got "
+        f"({cfg['ta']},{cfg['tb']})")
+    out = fast_exact_first_hit(vol, ORIGIN, VS, cam.get_pos(),
+                               cam.get_view(), 45.0, W / H, W, H)
+    assert out is not None
+    hit, t, _, _ = out
+    o, d = generate_rays(W, H, jnp.asarray(cam.get_pos(), jnp.float32),
+                         jnp.asarray(cam.get_view(), jnp.float32),
+                         45.0, W / H)
+    ref = trace_octree(pyr, o, d, jnp.asarray(ORIGIN), jnp.float32(VS))
+    h1 = np.asarray(hit)
+    h2 = np.asarray(ref["hit"])
+    mism = np.nonzero(h1 != h2)[0]
+    assert len(mism) <= 3, f"{len(mism)} mismatches on the 5-tap envelope"
+    assert not (h2 & ~h1).any(), "must never miss an oracle hit"
+    _assert_grazing(mism, o, d, np.asarray(t), np.asarray(ref["t"]), occ)
+    both = h1 & h2
+    np.testing.assert_allclose(np.asarray(t)[both],
+                               np.asarray(ref["t"])[both],
+                               rtol=0, atol=2e-3)
