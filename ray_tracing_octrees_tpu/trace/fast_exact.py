@@ -519,9 +519,30 @@ def _fast_exact_frame_jit(occ_sw, shadow_native, nb9, scal, n_chunks, S, A,
     res = _pixel_cube_resolve(pv0, pv1, pv2, scal, axis_world, flip,
                               S, A, B, IH, IW, width, height, ta, tb)
 
-    st1, map1, rounds, overflow = _run_fallback(
-        res, words, nb9, scal, axis_world, flip, S, A, B, IH, IW,
-        width, height, ta, tb)
+    # DIAGNOSTIC ablation (breaks exactness — suspicious rows become
+    # misses): RTO_FE_NO_FALLBACK=1 measures the fallback ladder's
+    # marginal cost. Measured round 5 at 1080p: 30.3 -> 16.3 ms, i.e.
+    # the ladder serving ~3.4% of pixels costs ~14 ms — the dominant
+    # round-6 target (the full-width sort-compaction is width-
+    # independent; lax.top_k as a replacement compiled/ran > 9 min and
+    # was rejected; 16-px-block pre-compaction failed on clustering).
+    import os as _os
+    if _os.environ.get("RTO_FE_NO_FALLBACK"):
+        _m1 = 2048
+        st1 = dict(hit=jnp.zeros(_m1, jnp.bool_), t=jnp.zeros(_m1, jnp.float32),
+                   ks=jnp.zeros(_m1, jnp.int32), ca=jnp.zeros(_m1, jnp.int32),
+                   cb=jnp.zeros(_m1, jnp.int32), ptr=jnp.zeros(_m1, jnp.int32),
+                   resolved=jnp.ones(_m1, jnp.bool_))
+        map1 = dict(unres=jnp.zeros(N, jnp.bool_), rank=jnp.zeros(N, jnp.int32),
+                    M=_m1, rd=tuple(jnp.zeros(_m1, jnp.float32) for _ in range(3)),
+                    ro=tuple(jnp.zeros(_m1, jnp.float32) for _ in range(3)),
+                    pix=jnp.zeros(_m1, jnp.int32),
+                    row_valid=jnp.zeros(_m1, jnp.bool_))
+        rounds = overflow = jnp.zeros((), jnp.int32)
+    else:
+        st1, map1, rounds, overflow = _run_fallback(
+            res, words, nb9, scal, axis_world, flip, S, A, B, IH, IW,
+            width, height, ta, tb)
 
     # fallback shadow: one tiny gather of the relayout shadow volume at
     # the resolved cell (bilinear>0.5 at the texel is the main path's
